@@ -1,0 +1,90 @@
+"""Device-mesh construction — the TPU replacement for Lightning's DDP strategies.
+
+The reference scales with NCCL data-parallel only (reference:
+configs/trainer/ddp.yaml:4, SURVEY.md section 2.7). On TPU the idiomatic
+equivalent is a named :class:`jax.sharding.Mesh` over which pjit/GSPMD places
+XLA collectives on the ICI fabric. We expose three axes:
+
+  dp    — data parallel (batch sharding; grad all-reduce rides psum)
+  fsdp  — parameter sharding for the 7B decoder (ZeRO-3-style, all-gather on use)
+  tp    — tensor parallel (attention heads / MLP hidden sharded)
+
+Axis sizes multiply to the device count. The default recipe parity layout is
+pure-dp (the reference trains DDPx4); inference of Vicuna-7B uses dp x tp.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "dp"
+FSDP_AXIS = "fsdp"
+TENSOR_AXIS = "tp"
+AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Mesh axis sizes; -1 means "absorb remaining devices" (like np.reshape)."""
+
+    dp: int = -1
+    fsdp: int = 1
+    tp: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
+        sizes = [self.dp, self.fsdp, self.tp]
+        wildcard = [i for i, s in enumerate(sizes) if s == -1]
+        if len(wildcard) > 1:
+            raise ValueError("at most one mesh axis may be -1")
+        known = math.prod(s for s in sizes if s != -1)
+        if wildcard:
+            if n_devices % known:
+                raise ValueError(
+                    f"{n_devices} devices not divisible by fixed axes {sizes}"
+                )
+            sizes[wildcard[0]] = n_devices // known
+        if math.prod(sizes) != n_devices:
+            raise ValueError(f"mesh {sizes} != device count {n_devices}")
+        return tuple(sizes)  # type: ignore[return-value]
+
+
+def create_mesh(
+    config: MeshConfig | None = None,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a (dp, fsdp, tp) mesh over the given (default: all) devices.
+
+    Device order matters for ICI locality: jax.devices() enumerates in
+    torus-contiguous order, and we keep tp innermost so tensor-parallel
+    collectives (highest traffic) ride nearest-neighbor links.
+    """
+    config = config or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    shape = config.resolve(len(devices))
+    device_array = np.asarray(devices).reshape(shape)
+    return Mesh(device_array, AXIS_NAMES)
+
+
+def local_mesh(n: int | None = None, **axis_sizes: int) -> Mesh:
+    """A mesh over the first ``n`` local devices (tests / single-host runs)."""
+    devices = jax.devices()[: n or len(jax.devices())]
+    cfg = MeshConfig(**axis_sizes) if axis_sizes else MeshConfig()
+    return create_mesh(cfg, devices)
+
+
+def host_cpu_mesh_env(n_devices: int = 8) -> dict[str, str]:
+    """Env vars that simulate an ``n_devices`` CPU mesh (the reference's
+    ddp_sim analogue, configs/trainer/ddp_sim.yaml)."""
+    return {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip(),
+    }
