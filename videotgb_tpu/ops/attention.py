@@ -1,0 +1,221 @@
+"""Attention: XLA reference implementation + Pallas TPU flash-attention kernel.
+
+The reference leans on HF/cuDNN eager attention everywhere (ViT, Q-Former,
+T5, Vicuna, TGB — SURVEY.md section 2.6). Here attention is a first-class op:
+
+* :func:`dot_product_attention` — plain XLA einsum attention. Used for short
+  sequences (Q-Former's 32 queries), as the flash kernel's autodiff backward
+  (recompute), and as the CPU-test fallback.
+* :func:`flash_attention` — blocked online-softmax Pallas kernel. Grid over
+  (batch*heads, q-blocks); K/V stream through VMEM in kv-blocks with a
+  running (max, sum, acc) carry, so the (S_q, S_kv) score matrix never
+  materializes in HBM. Supports an additive float bias (padding masks, T5
+  relative-position bias, causal masks are all expressed as bias).
+
+Shapes follow (batch, heads, seq, head_dim). All softmax math is float32
+regardless of input dtype (bf16 in production), accumulated on the MXU via
+preferred_element_type=float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """Reference attention. q (B,H,Sq,D), k/v (B,H,Skv,D), bias broadcastable
+    to (B,H,Sq,Skv). Returns (B,H,Sq,D) in q.dtype."""
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_kv: int, scale: float, s_kv: int
+):
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    bq = q.shape[0]
+    d = q.shape[1]
+    n_kv = s_kv // block_kv
+
+    def body(i, carry):
+        m_prev, l_prev, acc_prev = carry
+        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bkv)
+        if bias_ref is not None:
+            s = s + bias_ref[0, :, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc_prev * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+) -> jax.Array:
+    b, h, s_q, d = q.shape
+    s_kv = k.shape[2]
+    bh = b * h
+
+    # pad seq lengths up to block multiples; padded KV columns are masked off
+    # via bias, padded Q rows are sliced away after.
+    pad_q = (-s_q) % block_q
+    pad_kv = (-s_kv) % block_kv
+    if pad_q or pad_kv or bias is None:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        if bias is None:
+            bias = jnp.zeros((1, 1, 1, 1), q.dtype)
+        bias = jnp.broadcast_to(bias, (*bias.shape[:2], s_q, s_kv))
+        bias = jnp.pad(
+            bias,
+            ((0, 0), (0, 0), (0, pad_q), (0, pad_kv)),
+            constant_values=NEG_INF,
+        )
+    sq_p, skv_p = s_q + pad_q, s_kv + pad_kv
+
+    qf = q.reshape(bh, sq_p, d)
+    kf = k.reshape(bh, skv_p, d)
+    vf = v.reshape(bh, skv_p, d)
+    bias_b, bias_h = bias.shape[0], bias.shape[1]
+    biasf = jnp.broadcast_to(bias, (b, h, sq_p, skv_p)).reshape(bh, sq_p, skv_p) \
+        if (bias_b, bias_h) != (1, 1) else bias.reshape(1, sq_p, skv_p)
+    bias_bh = biasf.shape[0]
+
+    grid = (bh, sq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, block_kv=block_kv, scale=scale, s_kv=skv_p
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, block_q, skv_p),
+                (lambda i, j: (i, j, 0)) if bias_bh != 1 else (lambda i, j: (0, j, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_p * skv_p * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            transcendentals=bh * sq_p * skv_p,
+        ),
+    )(qf, kf, vf, biasf)
+    return out.reshape(b, h, sq_p, d)[:, :, :s_q, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention(q, k, v, bias, scale, block_q, block_kv):
+    return _flash_forward(q, k, v, bias, scale, block_q, block_kv)
+
+
+def _flash_fwd(q, k, v, bias, scale, block_q, block_kv):
+    out = _flash_forward(q, k, v, bias, scale, block_q, block_kv)
+    return out, (q, k, v, bias)
+
+
+def _flash_bwd(scale, block_q, block_kv, residuals, g):
+    # Recompute-based backward through the XLA reference implementation:
+    # flash forward saves no probabilities, so grads re-derive them; XLA
+    # fuses this into a tight kernel and it stays exact.
+    q, k, v, bias = residuals
+    if bias is None:
+        _, vjp = jax.vjp(lambda a, b, c: dot_product_attention(a, b, c, None, scale), q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    _, vjp = jax.vjp(lambda a, b, c, d: dot_product_attention(a, b, c, d, scale), q, k, v, bias)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None = None,
+    scale: float | None = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Flash attention with automatic fallback.
+
+    Uses the Pallas kernel on TPU backends; elsewhere (CPU tests) falls back
+    to the XLA reference, which is numerically equivalent.
+    """
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if not use_pallas:
+        return dot_product_attention(q, k, v, bias, scale)
+    block_q = min(block_q, max(q.shape[2], 8))
+    block_kv = min(block_kv, max(k.shape[2], 8))
+    return _flash_attention(q, k, v, bias, scale, block_q, block_kv)
+
+
+def make_padding_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """(B, S) 1/0 key mask -> (B, 1, 1, S) additive bias (HF semantics:
+    (1 - mask) * -inf, xropebert.py get_extended_attention_mask)."""
+    return ((1.0 - mask.astype(dtype)) * NEG_INF)[:, None, None, :]
+
+
+def make_causal_bias(s_q: int, s_kv: int | None = None, dtype=jnp.float32) -> jax.Array:
+    """(1, 1, S_q, S_kv) causal additive bias; allows k_pos <= q_pos + offset
+    where offset aligns the ends (for KV-cache decode suffixes)."""
+    s_kv = s_kv if s_kv is not None else s_q
+    offset = s_kv - s_q
+    q_pos = jnp.arange(s_q)[:, None]
+    k_pos = jnp.arange(s_kv)[None, :]
+    allowed = k_pos <= q_pos + offset
+    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
