@@ -1,0 +1,232 @@
+"""RAFT optical flow, TPU-native (frozen feature extractor for the TGB).
+
+Re-implements the reference's RAFT fork (reference:
+src/models/components/xraft.py, raft_utils/{extractor,update,corr,utils}.py)
+as NHWC flax modules:
+
+* BasicEncoder (extractor.py:116-190): 7x7/s2 stem + 3 stages of residual
+  blocks (64 -> 96 -> 128, stride 8 total) + 1x1 head; instance-norm for the
+  feature net, frozen batch-norm for the context net (RAFT is frozen and
+  freeze_bn()'d in every recipe — xraft.py:75-77 — so BN is an affine with
+  running stats).
+* Correlation pyramid + radius-4 lookup from videotgb_tpu.ops.correlation.
+* BasicUpdateBlock (update.py:86-144): motion encoder, separable ConvGRU,
+  flow head, and the 64*9 convex-upsampling mask; the 20 GRU iterations run
+  as a lax.scan with the correlation lookup inside (xraft.py:133-153).
+* Convex upsampling x8 (xraft.py:88-100) via 3x3 patch extraction + softmax
+  mask.
+
+forward(image1, image2) takes uint8/float RGB in [0, 255], NHWC, H and W
+divisible by 8 (the data pipeline pads — InputPadder semantics, xraft.py:30-48)
+and returns upsampled flow (B, H, W, 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from videotgb_tpu.ops.correlation import build_corr_pyramid, lookup_corr_pyramid
+
+
+@dataclasses.dataclass(frozen=True)
+class RAFTConfig:
+    corr_levels: int = 4
+    corr_radius: int = 4
+    hidden_dim: int = 128
+    context_dim: int = 128
+    fnet_dim: int = 256
+    iters: int = 20
+    dtype: Any = jnp.float32  # flow quality is precision-sensitive
+    param_dtype: Any = jnp.float32
+
+    @classmethod
+    def tiny(cls) -> "RAFTConfig":
+        return cls(iters=2)
+
+
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+    pad = [(k // 2, k // 2) for k in (kernel if isinstance(kernel, tuple) else (kernel, kernel))]
+    k = kernel if isinstance(kernel, tuple) else (kernel, kernel)
+    return nn.Conv(features, kernel_size=k, strides=(stride, stride),
+                   padding=pad, dtype=dtype, name=name)
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d(affine=False) over NHWC spatial dims."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm2d in eval mode: y = (x - mean) / sqrt(var+eps) * scale + bias.
+    Running stats are parameters filled by the checkpoint converter."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
+class _Norm(nn.Module):
+    kind: str
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.kind == "instance":
+            return InstanceNorm(name="norm")(x)
+        if self.kind == "batch":
+            return FrozenBatchNorm(self.features, name="norm")(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    planes: int
+    norm_fn: str
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.relu(_Norm(self.norm_fn, self.planes, name="norm1")(
+            _conv(self.planes, 3, self.stride, name="conv1")(x)))
+        y = nn.relu(_Norm(self.norm_fn, self.planes, name="norm2")(
+            _conv(self.planes, 3, 1, name="conv2")(y)))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = _Norm(self.norm_fn, self.planes, name="norm3")(
+                nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                        name="downsample")(x))
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    output_dim: int
+    norm_fn: str
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = _conv(64, 7, 2, name="conv1")(x)
+        x = _Norm(self.norm_fn, 64, name="norm1")(x)
+        x = nn.relu(x)
+        for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
+            x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i+1}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i+1}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+
+
+class BasicMotionEncoder(nn.Module):
+    config: RAFTConfig
+
+    @nn.compact
+    def __call__(self, flow: jax.Array, corr: jax.Array) -> jax.Array:
+        cor = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        cor = nn.relu(_conv(192, 3, name="convc2")(cor))
+        flo = nn.relu(_conv(128, 7, name="convf1")(flow))
+        flo = nn.relu(_conv(64, 3, name="convf2")(flo))
+        out = nn.relu(_conv(126, 3, name="conv")(jnp.concatenate([cor, flo], -1)))
+        return jnp.concatenate([out, flow], axis=-1)  # 128 channels
+
+
+class SepConvGRU(nn.Module):
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
+        for suffix, kernel in (("1", (1, 5)), ("2", (5, 1))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(_conv(self.hidden_dim, kernel, name=f"convz{suffix}")(hx))
+            r = nn.sigmoid(_conv(self.hidden_dim, kernel, name=f"convr{suffix}")(hx))
+            q = jnp.tanh(_conv(self.hidden_dim, kernel, name=f"convq{suffix}")(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class BasicUpdateBlock(nn.Module):
+    config: RAFTConfig
+
+    @nn.compact
+    def __call__(
+        self, net: jax.Array, inp: jax.Array, corr: jax.Array, flow: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        motion = BasicMotionEncoder(self.config, name="encoder")(flow, corr)
+        net = SepConvGRU(self.config.hidden_dim, name="gru")(
+            net, jnp.concatenate([inp, motion], axis=-1))
+        delta = _conv(2, 3, name="flow_head_conv2")(
+            nn.relu(_conv(256, 3, name="flow_head_conv1")(net)))
+        mask = nn.Conv(64 * 9, (1, 1), name="mask_conv2")(
+            nn.relu(_conv(256, 3, name="mask_conv1")(net)))
+        return net, 0.25 * mask, delta
+
+
+def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
+    """flow (B, H, W, 2), mask (B, H, W, 64*9) -> (B, 8H, 8W, 2)
+    (xraft.py:88-100): softmax over 9 taps of 8x-scaled 3x3 flow patches."""
+    b, h, w, _ = flow.shape
+    mask = mask.reshape(b, h, w, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
+    # 3x3 neighborhoods of 8*flow
+    padded = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.stack(
+        [padded[:, dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)],
+        axis=3,
+    )  # (B, H, W, 9, 2)
+    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", mask, patches)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
+
+
+class RAFT(nn.Module):
+    """Returns the final upsampled flow (B, H, W, 2), matching
+    forward(..., test_mode=True) (xraft.py:102-158)."""
+
+    config: RAFTConfig = RAFTConfig()
+
+    @nn.compact
+    def __call__(self, image1: jax.Array, image2: jax.Array) -> jax.Array:
+        cfg = self.config
+        image1 = 2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0
+        image2 = 2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0
+
+        fnet = BasicEncoder(cfg.fnet_dim, "instance", name="fnet")
+        fmap1 = fnet(image1)
+        fmap2 = fnet(image2)
+        pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
+
+        cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim, "batch", name="cnet")(image1)
+        net = jnp.tanh(cnet[..., : cfg.hidden_dim])
+        inp = nn.relu(cnet[..., cfg.hidden_dim :])
+
+        b, h8, w8 = fmap1.shape[:3]
+        gy, gx = jnp.meshgrid(jnp.arange(h8, dtype=jnp.float32),
+                              jnp.arange(w8, dtype=jnp.float32), indexing="ij")
+        coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (b, h8, w8, 2))
+
+        update = BasicUpdateBlock(cfg, name="update_block")
+
+        # 20 shared-weight GRU iterations. Unrolled python loop (static count)
+        # so flax param creation stays outside lax control flow; XLA dedupes
+        # the repeated computation graphs.
+        coords1 = coords0
+        mask = None
+        for _ in range(cfg.iters):
+            corr = lookup_corr_pyramid(pyramid, coords1, cfg.corr_radius)
+            flow = coords1 - coords0
+            net, mask, delta = update(net, inp, corr, flow)
+            coords1 = coords1 + delta
+        return convex_upsample(coords1 - coords0, mask)

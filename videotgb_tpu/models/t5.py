@@ -1,0 +1,313 @@
+"""Flan-T5 encoder-decoder, TPU-native, with functional KV-cache decode.
+
+The reference drives HF's T5 through Blip2ForConditionalGeneration
+(reference: src/models/components/xblip2.py:1539-1835, language model loaded
+at :1553-1556). This is a from-scratch JAX implementation of the same
+architecture (T5 v1.1 / flan variant):
+
+* RMS "T5LayerNorm" (no mean subtraction, no bias), pre-norm residual blocks,
+  final layer norms, all dense layers bias-free;
+* attention scores are UNscaled (scale=1.0 — T5 folds the scale into init);
+* bucketed relative position bias, computed once from layer 0's embedding and
+  shared by all layers (bidirectional buckets in the encoder, causal in the
+  decoder);
+* gated-gelu FFN (wi_0 * gelu-gate wi_1);
+* separate lm_head (flan-t5 does not tie embeddings).
+
+Decode threads an explicit per-layer cache pytree
+``{"self": {k,v}, "cross": {k,v}}`` through lax loops (see ops.decode);
+cross K/V are computed once at prefill from the encoder output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from videotgb_tpu.models.common import (
+    KVCache,
+    MultiHeadAttention,
+    RMSNorm,
+    dense,
+    embed,
+    init_kv_cache,
+)
+from videotgb_tpu.ops.attention import NEG_INF, make_causal_bias, make_padding_bias
+
+LayerCache = dict[str, KVCache]
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 2048
+    d_kv: int = 64
+    num_heads: int = 32
+    d_ff: int = 5120
+    num_encoder_layers: int = 24
+    num_decoder_layers: int = 24
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+    dropout: float = 0.1
+    tie_word_embeddings: bool = False
+    decoder_start_token_id: int = 0
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @classmethod
+    def flan_t5_xl(cls) -> "T5Config":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "T5Config":
+        return cls(vocab_size=64, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+                   num_encoder_layers=2, num_decoder_layers=2)
+
+
+def relative_position_bucket(
+    relative_position: jax.Array,
+    bidirectional: bool,
+    num_buckets: int,
+    max_distance: int,
+) -> jax.Array:
+    """T5's log-spaced distance bucketing (HF modeling_t5 semantics).
+    relative_position = key_pos - query_pos."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + jnp.where(n < 0, num_buckets, 0)
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    config: T5Config
+    bidirectional: bool
+
+    @nn.compact
+    def __call__(self, q_positions: jax.Array, k_positions: jax.Array) -> jax.Array:
+        """-> (1, heads, len(q_positions), len(k_positions)) float32 bias."""
+        cfg = self.config
+        rel = k_positions[None, :] - q_positions[:, None]
+        buckets = relative_position_bucket(
+            rel, self.bidirectional,
+            cfg.relative_attention_num_buckets,
+            cfg.relative_attention_max_distance,
+        )
+        table = self.param(
+            "rel_embedding",
+            nn.with_partitioning(nn.initializers.normal(1.0), (None, "heads")),
+            (cfg.relative_attention_num_buckets, cfg.num_heads),
+            cfg.param_dtype,
+        )
+        bias = jnp.take(table, buckets, axis=0)  # (q, k, heads)
+        return bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+
+
+class T5Block(nn.Module):
+    config: T5Config
+    is_decoder: bool
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        self_bias: jax.Array | None,
+        encoder_hidden: jax.Array | None = None,
+        cross_bias: jax.Array | None = None,
+        cache: LayerCache | None = None,
+        cache_index: jax.Array | None = None,
+        cross_prefill: bool = False,
+    ) -> tuple[jax.Array, LayerCache | None]:
+        cfg = self.config
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        mha_kw = dict(
+            num_heads=cfg.num_heads, head_dim=cfg.d_kv, out_features=cfg.d_model,
+            use_bias=False, scale=1.0, **kw,
+        )
+        new_cache: LayerCache = {}
+
+        h = RMSNorm(cfg.layer_norm_eps, name="self_ln", **kw)(x)
+        attn, self_kv = MultiHeadAttention(name="self_attn", **mha_kw)(
+            h, bias=self_bias,
+            cache=None if cache is None else cache["self"],
+            cache_index=cache_index,
+        )
+        if self_kv is not None:
+            new_cache["self"] = self_kv
+        x = x + attn
+
+        if self.is_decoder:
+            h = RMSNorm(cfg.layer_norm_eps, name="cross_ln", **kw)(x)
+            use_cached_cross = cache is not None and not cross_prefill
+            attn, cross_kv = MultiHeadAttention(name="cross_attn", **mha_kw)(
+                h, x_kv=encoder_hidden, bias=cross_bias,
+                cache=cache["cross"] if use_cached_cross else None,
+                cross_cached=use_cached_cross,
+                return_kv=cache is not None and cross_prefill,
+            )
+            if cache is not None:
+                new_cache["cross"] = cross_kv if cross_prefill else cache["cross"]
+            x = x + attn
+
+        h = RMSNorm(cfg.layer_norm_eps, name="ffn_ln", **kw)(x)
+        hidden = dense(cfg.d_ff, ("embed", "mlp"), use_bias=False, name="wi_0", **kw)(h)
+        gate = dense(cfg.d_ff, ("embed", "mlp"), use_bias=False, name="wi_1", **kw)(h)
+        h = nn.gelu(hidden, approximate=False) * gate
+        x = x + dense(cfg.d_model, ("mlp", "embed"), use_bias=False, name="wo", **kw)(h)
+        return x, (new_cache or None)
+
+
+class T5Model(nn.Module):
+    """Methods: embed / encode / decode / __call__ (teacher-forced loss pass)."""
+
+    config: T5Config
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.shared = embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype,
+                            param_dtype=cfg.param_dtype, name="shared")
+        self.enc_rel_bias = RelativePositionBias(cfg, bidirectional=True)
+        self.dec_rel_bias = RelativePositionBias(cfg, bidirectional=False)
+        self.encoder_blocks = [
+            T5Block(cfg, is_decoder=False, name=f"encoder_{i}")
+            for i in range(cfg.num_encoder_layers)
+        ]
+        self.decoder_blocks = [
+            T5Block(cfg, is_decoder=True, name=f"decoder_{i}")
+            for i in range(cfg.num_decoder_layers)
+        ]
+        self.encoder_final_ln = RMSNorm(cfg.layer_norm_eps, dtype=cfg.dtype,
+                                        param_dtype=cfg.param_dtype,
+                                        name="encoder_final_ln")
+        self.decoder_final_ln = RMSNorm(cfg.layer_norm_eps, dtype=cfg.dtype,
+                                        param_dtype=cfg.param_dtype,
+                                        name="decoder_final_ln")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = dense(cfg.vocab_size, ("embed", "vocab"),
+                                 use_bias=False, dtype=cfg.dtype,
+                                 param_dtype=cfg.param_dtype, name="lm_head")
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        return self.shared(input_ids)
+
+    def encode(
+        self, inputs_embeds: jax.Array, attention_mask: jax.Array
+    ) -> jax.Array:
+        """inputs_embeds (B, S, d_model) — callers may prepend visual tokens."""
+        cfg = self.config
+        s = inputs_embeds.shape[1]
+        positions = jnp.arange(s)
+        bias = self.enc_rel_bias(positions, positions) + make_padding_bias(attention_mask)
+        x = inputs_embeds.astype(cfg.dtype)
+        for block in self.encoder_blocks:
+            x, _ = block(x, bias)
+        return self.encoder_final_ln(x)
+
+    def _logits(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        if cfg.tie_word_embeddings:
+            x = x * (cfg.d_model ** -0.5)
+            return self.shared.attend(x).astype(jnp.float32)
+        return self.lm_head(x).astype(jnp.float32)
+
+    def decode(
+        self,
+        decoder_input_ids: jax.Array,
+        encoder_hidden: jax.Array,
+        encoder_mask: jax.Array,
+        decoder_mask: jax.Array | None = None,
+        caches: list[LayerCache] | None = None,
+        cache_index: jax.Array | None = None,
+        cache_positions_valid: jax.Array | None = None,
+        cross_prefill: bool = False,
+    ) -> tuple[jax.Array, list[LayerCache] | None]:
+        """Teacher-forced when caches is None; incremental otherwise.
+
+        With caches, self-attention spans the whole cache buffer; the valid
+        prefix mask must be supplied via ``cache_positions_valid`` (B, S_max).
+        The first cached call must pass ``cross_prefill=True`` so every
+        decoder layer's cross K/V get computed and stored.
+        """
+        cfg = self.config
+        b, s = decoder_input_ids.shape
+        x = self.shared(decoder_input_ids).astype(cfg.dtype)
+        cross_bias = make_padding_bias(encoder_mask)
+
+        if caches is None:
+            positions = jnp.arange(s)
+            self_bias = (
+                self.dec_rel_bias(positions, positions)
+                + make_causal_bias(s, s)
+            )
+            if decoder_mask is not None:
+                self_bias = self_bias + make_padding_bias(decoder_mask)
+            new_caches = None
+            for block in self.decoder_blocks:
+                x, _ = block(x, self_bias, encoder_hidden, cross_bias)
+        else:
+            s_max = caches[0]["self"]["k"].shape[2]
+            q_pos = cache_index + jnp.arange(s)
+            k_pos = jnp.arange(s_max)
+            self_bias = self.dec_rel_bias(q_pos, k_pos)
+            causal = jnp.where(
+                k_pos[None, :] <= q_pos[:, None], 0.0, NEG_INF
+            )[None, None]
+            self_bias = self_bias + causal
+            if cache_positions_valid is not None:
+                self_bias = self_bias + make_padding_bias(cache_positions_valid)
+            new_caches = []
+            for block, cache in zip(self.decoder_blocks, caches):
+                x, new_cache = block(
+                    x, self_bias, encoder_hidden, cross_bias,
+                    cache=cache, cache_index=cache_index,
+                    cross_prefill=cross_prefill,
+                )
+                new_caches.append(new_cache)
+        x = self.decoder_final_ln(x)
+        return self._logits(x), new_caches
+
+    def init_caches(
+        self, batch: int, max_len: int, encoder_len: int
+    ) -> list[LayerCache]:
+        """Zeroed decode caches; the first decode(cross_prefill=True) call
+        fills every layer's cross K/V from the encoder output."""
+        cfg = self.config
+        return [
+            {
+                "self": init_kv_cache(batch, cfg.num_heads, max_len, cfg.d_kv, cfg.dtype),
+                "cross": init_kv_cache(batch, cfg.num_heads, encoder_len,
+                                       cfg.d_kv, cfg.dtype),
+            }
+            for _ in range(cfg.num_decoder_layers)
+        ]
+
+    def __call__(
+        self,
+        encoder_embeds: jax.Array,
+        encoder_mask: jax.Array,
+        decoder_input_ids: jax.Array,
+        decoder_mask: jax.Array | None = None,
+    ) -> jax.Array:
+        encoder_hidden = self.encode(encoder_embeds, encoder_mask)
+        logits, _ = self.decode(decoder_input_ids, encoder_hidden, encoder_mask,
+                                decoder_mask)
+        return logits

@@ -1,0 +1,135 @@
+"""BLIP-2's frozen EVA ViT-g vision tower, TPU-native.
+
+Functional equivalent of the reference's HF fork Blip2VisionModel
+(reference: src/models/components/xblip2.py:89-563): conv patch embedding
+(14x14/s14 on 224 -> 256 patches) + learned CLS token + learned position
+embeddings, 39 pre-LN transformer layers (hidden 1408, 16 heads, MLP 6144,
+gelu), final post-layernorm. The tower is frozen in every recipe
+(LSTP_SF_blip2_module.py:664-668), so it runs in bf16 inference mode and the
+batch dimension (B*nframe frames) is the only sharded axis; attention uses the
+Pallas flash kernel (257 tokens/frame).
+
+InstructBLIP's vision tower is identical modulo weights
+(xinstructblip.py Blip2VisionModel equivalent), so both backbones share this.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from videotgb_tpu.models.common import (
+    LayerNorm,
+    Mlp,
+    MultiHeadAttention,
+    default_kernel_init,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1408
+    num_layers: int = 39
+    num_heads: int = 16
+    intermediate_size: int = 6144
+    layer_norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+    @classmethod
+    def tiny(cls) -> "ViTConfig":
+        return cls(image_size=56, patch_size=14, hidden_size=64, num_layers=2,
+                   num_heads=4, intermediate_size=128)
+
+
+class ViTEmbeddings(nn.Module):
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, pixel_values: jax.Array) -> jax.Array:
+        """pixel_values (B, H, W, 3) -> (B, 1+P, hidden)."""
+        cfg = self.config
+        patches = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            use_bias=True,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            kernel_init=nn.with_partitioning(
+                default_kernel_init, (None, None, "conv_in", "embed")
+            ),
+            name="patch_embed",
+        )(pixel_values)
+        b = patches.shape[0]
+        patches = patches.reshape(b, -1, cfg.hidden_size)
+        cls = self.param(
+            "cls_token",
+            nn.with_partitioning(default_kernel_init, (None, None, "embed")),
+            (1, 1, cfg.hidden_size),
+            cfg.param_dtype,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.hidden_size)), patches],
+            axis=1,
+        )
+        pos = self.param(
+            "position_embedding",
+            nn.with_partitioning(default_kernel_init, (None, "seq", "embed")),
+            (1, cfg.seq_len, cfg.hidden_size),
+            cfg.param_dtype,
+        )
+        return x + pos.astype(cfg.dtype)
+
+
+class ViTLayer(nn.Module):
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype, name="ln1")(x)
+        attn, _ = MultiHeadAttention(
+            num_heads=cfg.num_heads,
+            head_dim=cfg.hidden_size // cfg.num_heads,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="attn",
+        )(h)
+        x = x + attn
+        h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype, name="ln2")(x)
+        x = x + Mlp(
+            cfg.intermediate_size, act="gelu", dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="mlp",
+        )(h)
+        return x
+
+
+class ViTModel(nn.Module):
+    """Returns last_hidden_state (B, 257, hidden) after post-layernorm."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, pixel_values: jax.Array) -> jax.Array:
+        cfg = self.config
+        x = ViTEmbeddings(cfg, name="embeddings")(pixel_values.astype(cfg.dtype))
+        for i in range(cfg.num_layers):
+            x = ViTLayer(cfg, name=f"layer_{i}")(x)
+        return LayerNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype,
+                         name="post_layernorm")(x)
