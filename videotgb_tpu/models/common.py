@@ -129,6 +129,11 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_flash: bool = True
+    # LoRA on q/v projections (peft parity: r=8, alpha=32 on the LLM towers,
+    # reference LSTP_Blip2_IVT_module.py:184-188)
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_targets: tuple = ("q", "v")
 
     @nn.compact
     def __call__(
@@ -167,6 +172,14 @@ class MultiHeadAttention(nn.Module):
                 param_dtype=self.param_dtype,
                 name=name,
             )(x)
+            if self.lora_rank > 0 and name in self.lora_targets:
+                from videotgb_tpu.models.lora import LoRADelta
+
+                y = y + LoRADelta(
+                    self.num_heads * self.head_dim, self.lora_rank,
+                    self.lora_alpha, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"{name}_lora",
+                )(x)
             return y.reshape(*y.shape[:-1], self.num_heads, self.head_dim).transpose(
                 0, 2, 1, 3
             )

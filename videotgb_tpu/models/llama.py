@@ -48,6 +48,8 @@ class LlamaConfig:
     pad_token_id: int = 0
     bos_token_id: int = 1
     eos_token_id: int = 2
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -89,6 +91,7 @@ class LlamaBlock(nn.Module):
         h = RMSNorm(cfg.rms_norm_eps, name="input_ln", **kw)(x)
         attn, new_cache = MultiHeadAttention(
             num_heads=cfg.num_heads, head_dim=cfg.head_dim, use_bias=False,
+            lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             name="attn", **kw,
         )(h, bias=bias, rope_q=rope, rope_k=rope, cache=cache, cache_index=cache_index)
         x = x + attn

@@ -58,6 +58,8 @@ class T5Config:
     decoder_start_token_id: int = 0
     pad_token_id: int = 0
     eos_token_id: int = 1
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -141,7 +143,8 @@ class T5Block(nn.Module):
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         mha_kw = dict(
             num_heads=cfg.num_heads, head_dim=cfg.d_kv, out_features=cfg.d_model,
-            use_bias=False, scale=1.0, **kw,
+            use_bias=False, scale=1.0, lora_rank=cfg.lora_rank,
+            lora_alpha=cfg.lora_alpha, **kw,
         )
         new_cache: LayerCache = {}
 

@@ -1,0 +1,294 @@
+"""VideoTGB: the full long-video QA pipeline, end to end.
+
+Wires RAFT -> TGB -> Gumbel span selection -> frame gather -> ViT -> Q-Former
+-> LLM into one module, mirroring the reference's inference models
+(reference: eval/utils/model.py LSTP :19 / LSTP_blip2 :238) and the
+LightningModule forwards (src/models/LSTP_SF_blip2_module.py:123-377).
+Submodule names mirror the reference attributes for checkpoint conversion:
+``temporal_encoder`` (TGB), ``of_extractor`` (RAFT), ``model`` (backbone).
+
+Generation is driven by free functions (generate_*) because the decode loop
+threads KV caches through repeated ``apply`` calls; everything inside is
+jit-compatible with static shapes:
+
+  frames        (B, F=32, H, W, 3)   candidate frames (CLIP-normalized)
+  flow          (B, L<=64, Hf, Wf, 2) precomputed or RAFT-online
+  cand_index    (B, nframe)          fixed-size gather (ops.select)
+  visual tokens (B, nframe*32, d) train / (B, 32, d) inference (mean-pooled)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from videotgb_tpu.models.blip2 import Blip2Config, Blip2Model
+from videotgb_tpu.models.instructblip import InstructBlipConfig, InstructBlipModel
+from videotgb_tpu.models.raft import RAFT, RAFTConfig
+from videotgb_tpu.models.tgb import TGBConfig, TGBModel
+from videotgb_tpu.ops.decode import DecodeConfig, beam_search, decode
+from videotgb_tpu.ops.select import gumbel_span_sample, select_frames_from_spans
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoTGBConfig:
+    backbone: str = "blip2"  # "blip2" | "instructblip"
+    blip2: Blip2Config | None = Blip2Config()
+    instructblip: InstructBlipConfig | None = None
+    tgb: TGBConfig = TGBConfig()
+    raft: RAFTConfig = RAFTConfig()
+    nframe: int = 4
+    num_frames: int = 32  # candidate frames
+    top_k: int = 2
+    gumbel_tau: float = 0.5
+
+    @classmethod
+    def tiny(cls, backbone: str = "blip2") -> "VideoTGBConfig":
+        return cls(
+            backbone=backbone,
+            blip2=Blip2Config.tiny() if backbone == "blip2" else None,
+            instructblip=(InstructBlipConfig.tiny()
+                          if backbone == "instructblip" else None),
+            tgb=TGBConfig.tiny(),
+            raft=RAFTConfig.tiny(),
+            nframe=2,
+            num_frames=4,
+        )
+
+
+class VideoTGB(nn.Module):
+    config: VideoTGBConfig
+
+    def setup(self) -> None:
+        cfg = self.config
+        self.temporal_encoder = TGBModel(cfg.tgb, name="temporal_encoder")
+        self.of_extractor = RAFT(cfg.raft, name="of_extractor")
+        if cfg.backbone == "blip2":
+            self.model = Blip2Model(cfg.blip2, name="model")
+        elif cfg.backbone == "instructblip":
+            self.model = InstructBlipModel(cfg.instructblip, name="model")
+        else:
+            raise ValueError(cfg.backbone)
+
+    # ------------------------------------------------------------- RAFT flow
+    def compute_flow(self, flow_frames: jax.Array) -> jax.Array:
+        """flow_frames (B, L, H, W, 3) in [0, 255] -> (B, L, H, W, 2).
+
+        Pairwise flow between consecutive frames, last repeated so the count
+        matches the frame count (eval/utils/model.py:294-303).
+        """
+        b, l = flow_frames.shape[:2]
+        img1 = flow_frames[:, :-1].reshape(b * (l - 1), *flow_frames.shape[2:])
+        img2 = flow_frames[:, 1:].reshape(b * (l - 1), *flow_frames.shape[2:])
+        flow = self.of_extractor(img1, img2)
+        flow = flow.reshape(b, l - 1, *flow.shape[1:])
+        return jnp.concatenate([flow, flow[:, -1:]], axis=1)
+
+    # ----------------------------------------------------------------- TGB
+    def span_logits(
+        self,
+        flow: jax.Array,
+        flow_mask: jax.Array,
+        question_ids: jax.Array,
+        question_mask: jax.Array,
+        mode: str = "fusion",
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        feat, logits = self.temporal_encoder(
+            flow, flow_mask, question_ids, question_mask,
+            mode=mode, deterministic=deterministic,
+        )
+        return feat, logits[..., 0], logits[..., 1]
+
+    # ------------------------------------------------------------- selection
+    def select_frames(
+        self,
+        start_logits: jax.Array,
+        end_logits: jax.Array,
+        video_length: jax.Array,
+        key: jax.Array,
+        inclusive_end: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        starts, ends = gumbel_span_sample(
+            start_logits, end_logits, key, cfg.top_k, cfg.gumbel_tau
+        )
+        return select_frames_from_spans(
+            starts, ends, video_length, cfg.num_frames, cfg.nframe,
+            inclusive_end=inclusive_end,
+        )
+
+    # ------------------------------------------------- backbone entry points
+    def encode_selected(
+        self,
+        frames: jax.Array,  # (B, F, H, W, 3)
+        cand_index: jax.Array,  # (B, nframe)
+        mean_pool: bool = False,
+        qformer_input_ids: jax.Array | None = None,
+        qformer_attention_mask: jax.Array | None = None,
+    ) -> jax.Array:
+        """Gather selected frames and run ViT + Q-Former (+projection)."""
+        cfg = self.config
+        b = frames.shape[0]
+        sel = jnp.take_along_axis(
+            frames, cand_index[:, :, None, None, None], axis=1
+        )  # (B, nframe, H, W, 3)
+        flat = sel.reshape(b * cfg.nframe, *frames.shape[2:])
+        kwargs = {}
+        if cfg.backbone == "instructblip" and qformer_input_ids is not None:
+            kwargs = dict(
+                qformer_input_ids=jnp.repeat(qformer_input_ids, cfg.nframe, 0),
+                qformer_attention_mask=(
+                    jnp.repeat(qformer_attention_mask, cfg.nframe, 0)
+                    if qformer_attention_mask is not None else None),
+            )
+        visual = self.model.encode_frames(
+            flat, mean_pool_groups=b if mean_pool else None, **kwargs
+        )
+        if not mean_pool:
+            visual = visual.reshape(b, cfg.nframe * visual.shape[1], -1)
+        return visual
+
+    def prepare_t5_inference(
+        self,
+        frames: jax.Array,
+        flow: jax.Array,
+        flow_mask: jax.Array,
+        video_length: jax.Array,
+        sampler_question_ids: jax.Array,
+        sampler_question_mask: jax.Array,
+        question_ids: jax.Array,
+        question_mask: jax.Array,
+        key: jax.Array,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Full BLIP2 inference prefix: TGB -> select -> ViT/Q-Former (mean
+        pooled) -> T5 encoder. Returns (enc_hidden, enc_mask, cand_index)."""
+        _, start_logits, end_logits = self.span_logits(
+            flow, flow_mask, sampler_question_ids, sampler_question_mask, "fusion"
+        )
+        cand = self.select_frames(start_logits, end_logits, video_length, key,
+                                  inclusive_end=False)
+        visual = self.encode_selected(frames, cand, mean_pool=True)
+        embeds, mask = self.model.encoder_inputs(visual, question_ids, question_mask)
+        enc_hidden = self.model.language_model.encode(embeds, mask)
+        return enc_hidden, mask, cand
+
+    def init_pipeline(
+        self,
+        frames: jax.Array,
+        flow: jax.Array,
+        flow_mask: jax.Array,
+        video_length: jax.Array,
+        sampler_question_ids: jax.Array,
+        sampler_question_mask: jax.Array,
+        question_ids: jax.Array,
+        question_mask: jax.Array,
+        key: jax.Array,
+    ) -> jax.Array:
+        """Touches every submodule so ``model.init(..., method=init_pipeline)``
+        creates the complete parameter tree (encoder AND decoder AND RAFT) —
+        flax creates params lazily per called module."""
+        enc_hidden, enc_mask, cand = self.prepare_t5_inference(
+            frames, flow, flow_mask, video_length,
+            sampler_question_ids, sampler_question_mask,
+            question_ids, question_mask, key,
+        )
+        b = enc_hidden.shape[0]
+        caches = self.init_t5_caches(b, 4, enc_hidden.shape[1])
+        start = jnp.zeros((b, 1), jnp.int32)
+        valid = jnp.ones((b, 4), jnp.float32)
+        logits, _ = self.t5_decode_step(
+            start, enc_hidden, enc_mask, caches, jnp.int32(0), valid, True
+        )
+        # RAFT params (online-flow path); 64px so the 4-level corr pyramid
+        # stays non-degenerate (stride-8 fmap 8x8 -> 1x1 at level 3)
+        tiny = jnp.zeros((1, 2, 64, 64, 3))
+        _ = self.compute_flow(tiny)
+        return logits
+
+    def t5_decode_step(self, tokens, enc_hidden, enc_mask, caches, index,
+                       cache_positions_valid, cross_prefill: bool = False):
+        logits, caches = self.model.language_model.decode(
+            tokens, enc_hidden, enc_mask,
+            caches=caches, cache_index=index,
+            cache_positions_valid=cache_positions_valid,
+            cross_prefill=cross_prefill,
+        )
+        return logits[:, -1], caches
+
+    def init_t5_caches(self, batch: int, max_len: int, encoder_len: int):
+        return self.model.language_model.init_caches(batch, max_len, encoder_len)
+
+
+# ----------------------------------------------------------------- generate
+def generate_blip2(
+    model: VideoTGB,
+    params: Any,
+    batch: dict[str, jax.Array],
+    decode_config: DecodeConfig,
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched BLIP2-Flan-T5 QA generation (the BASELINE inference path,
+    eval/utils/model.py:266-441). Returns (token_ids (B, T), cand_index).
+
+    lax.while_loop traces the step once, so the cross-K/V prefill (which
+    must happen exactly once) runs as one explicit step for token 0; the
+    loop handles step 0 by replaying those cached logits via lax.cond.
+    """
+    cfg = model.config
+    sel_key, decode_key = jax.random.split(key)
+    enc_hidden, enc_mask, cand = model.apply(
+        params, batch["frames"], batch["flow"], batch["flow_mask"],
+        batch["video_length"], batch["sampler_question_ids"],
+        batch["sampler_question_mask"], batch["question_ids"],
+        batch["question_mask"], sel_key,
+        method=model.prepare_t5_inference,
+    )
+    b = enc_hidden.shape[0]
+    t5cfg = cfg.blip2.t5 if cfg.backbone == "blip2" else None
+    beams = decode_config.num_beams
+    max_new = decode_config.max_new_tokens
+
+    if beams > 1:
+        enc_hidden = jnp.repeat(enc_hidden, beams, axis=0)
+        enc_mask = jnp.repeat(enc_mask, beams, axis=0)
+    bk = enc_hidden.shape[0]
+
+    def valid_mask(index):
+        return jnp.broadcast_to(
+            (jnp.arange(max_new)[None] <= index).astype(jnp.float32), (bk, max_new)
+        )
+
+    caches = model.apply(params, bk, max_new, enc_hidden.shape[1],
+                         method=model.init_t5_caches)
+    start = jnp.full((b,), t5cfg.decoder_start_token_id, jnp.int32)
+    start_bk = jnp.repeat(start, beams) if beams > 1 else start
+
+    # explicit prefill: writes token-0 self K/V and all cross K/V
+    logits0, caches = model.apply(
+        params, start_bk[:, None], enc_hidden, enc_mask, caches, jnp.int32(0),
+        valid_mask(0), True, method=model.t5_decode_step,
+    )
+
+    def loop_step(tokens, caches, index):
+        return model.apply(
+            params, tokens, enc_hidden, enc_mask, caches, index,
+            valid_mask(index), False, method=model.t5_decode_step,
+        )
+
+    def step_fn(tokens, caches, index):
+        return jax.lax.cond(
+            index == 0,
+            lambda: (logits0.astype(jnp.float32), caches),
+            lambda: loop_step(tokens, caches, index),
+        )
+
+    if beams > 1:
+        out = beam_search(step_fn, caches, start, decode_config)
+    else:
+        out = decode(step_fn, caches, start, decode_config, key=decode_key)
+    return out, cand

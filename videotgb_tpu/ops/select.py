@@ -66,10 +66,16 @@ def select_frames_from_spans(
     video_length: jax.Array,
     num_frames: int,
     nframe: int,
+    inclusive_end: bool = True,
 ) -> jax.Array:
     """Vectorized steps 2-4. starts/ends: (B, K) flow-domain; video_length (B,).
 
     Returns (B, nframe) int32 indices into the num_frames candidate frames.
+
+    ``inclusive_end``: the training path unions range(s, e+1)
+    (LSTP_SF_blip2_module.py:297) while the standalone inference path unions
+    range(s, e) — exclusive (eval/utils/model.py:352). Default matches
+    training.
     """
     starts = starts.astype(jnp.int32)
     ends = ends.astype(jnp.int32)
@@ -85,13 +91,14 @@ def select_frames_from_spans(
     e = (ends * (num_frames - 1)) // denom
 
     frame_ids = jnp.arange(num_frames, dtype=jnp.int32)  # (F,)
-    # union over K spans; an inverted span (e < s) contributes nothing,
-    # matching python range(s, e+1)
-    mask = jnp.any(
-        (frame_ids[None, None, :] >= s[:, :, None])
-        & (frame_ids[None, None, :] <= e[:, :, None]),
-        axis=1,
-    )  # (B, F)
+    # union over K spans; an inverted/empty span contributes nothing,
+    # matching python range()
+    upper = (
+        frame_ids[None, None, :] <= e[:, :, None]
+        if inclusive_end
+        else frame_ids[None, None, :] < e[:, :, None]
+    )
+    mask = jnp.any((frame_ids[None, None, :] >= s[:, :, None]) & upper, axis=1)
     empty = ~jnp.any(mask, axis=-1, keepdims=True)
     mask = mask | empty  # empty union -> all frames
 
@@ -136,6 +143,7 @@ def select_frames_reference_np(
     video_length: int,
     num_frames: int,
     nframe: int,
+    inclusive_end: bool = True,
 ) -> list[int]:
     """Golden oracle: faithful port of the reference python loop
     (LSTP_SF_blip2_module.py:283-313). starts/ends: (K,) for one sample."""
@@ -151,7 +159,7 @@ def select_frames_reference_np(
         denom = max(video_length - 1, 1)
         s = int(cand_start * (num_frames - 1) / denom)
         e = int(cand_end * (num_frames - 1) / denom)
-        cand_index |= set(range(s, e + 1))
+        cand_index |= set(range(s, e + 1 if inclusive_end else e))
     cand = sorted(cand_index)
     if not cand:
         cand = list(range(num_frames))
