@@ -109,12 +109,22 @@ class Blip2Model(nn.Module):
         question_mask: jax.Array,
         answer_ids: jax.Array,  # (B, Ta) labels (pad = pad_token_id)
         answer_mask: jax.Array | None = None,
+        mean_pool: bool = False,
     ) -> tuple[jax.Array, jax.Array]:
-        """Training loss pass -> (scalar CE loss, logits)."""
+        """Training loss pass -> (scalar CE loss, logits).
+
+        mean_pool=True gives the stage-3/IV visual prefix: Q-Former outputs
+        mean-pooled across frames to 32 tokens (LSTP_Blip2_IV_module.py:222-232)
+        instead of the SF path's nframe*32 tokens.
+        """
         cfg = self.config
         b, f = pixel_values.shape[:2]
-        visual = self.encode_frames(pixel_values.reshape(b * f, *pixel_values.shape[2:]))
-        visual = visual.reshape(b, f * visual.shape[1], -1)
+        visual = self.encode_frames(
+            pixel_values.reshape(b * f, *pixel_values.shape[2:]),
+            mean_pool_groups=b if mean_pool else None,
+        )
+        if not mean_pool:
+            visual = visual.reshape(b, f * visual.shape[1], -1)
         embeds, mask = self.encoder_inputs(visual, question_ids, question_mask)
 
         # teacher forcing: shift answers right with decoder_start

@@ -87,7 +87,7 @@ class RMSNorm(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """Standard LayerNorm with sharding-annotated scale/bias."""
+    """Standard LayerNorm with sharding-annotated scale/bias (flat params)."""
 
     eps: float = 1e-12
     dtype: Dtype = jnp.float32
@@ -95,13 +95,21 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.LayerNorm(
-            epsilon=self.eps,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            scale_init=nn.with_partitioning(nn.initializers.ones, ("embed",)),
-            bias_init=nn.with_partitioning(nn.initializers.zeros, ("embed",)),
-        )(x)
+        dim = x.shape[-1]
+        scale = self.param(
+            "scale", nn.with_partitioning(nn.initializers.ones, ("embed",)),
+            (dim,), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.with_partitioning(nn.initializers.zeros, ("embed",)),
+            (dim,), self.param_dtype,
+        )
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        normed = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return out.astype(self.dtype)
 
 
 def init_kv_cache(
@@ -242,10 +250,11 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         features = x.shape[-1]
+        # "gelu" = exact erf (HF nn.GELU); "gelu_new" = tanh approximation
+        # (HF NewGELUActivation, used by flan-T5)
         act = {
-            "gelu": nn.gelu,
-            "gelu_exact": lambda x: nn.gelu(x, approximate=False),
-            "gelu_new": nn.gelu,
+            "gelu": lambda x: nn.gelu(x, approximate=False),
+            "gelu_new": lambda x: nn.gelu(x, approximate=True),
             "relu": nn.relu,
             "silu": nn.silu,
         }[self.act]

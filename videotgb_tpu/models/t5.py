@@ -174,7 +174,8 @@ class T5Block(nn.Module):
         h = RMSNorm(cfg.layer_norm_eps, name="ffn_ln", **kw)(x)
         hidden = dense(cfg.d_ff, ("embed", "mlp"), use_bias=False, name="wi_0", **kw)(h)
         gate = dense(cfg.d_ff, ("embed", "mlp"), use_bias=False, name="wi_1", **kw)(h)
-        h = nn.gelu(hidden, approximate=False) * gate
+        # flan-T5's gated act is gelu_new (tanh approximation)
+        h = nn.gelu(hidden, approximate=True) * gate
         x = x + dense(cfg.d_model, ("mlp", "embed"), use_bias=False, name="wo", **kw)(h)
         return x, (new_cache or None)
 

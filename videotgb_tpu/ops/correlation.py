@@ -81,15 +81,18 @@ def lookup_corr_pyramid(
     b, h, w, _ = coords.shape
     q = h * w
     r = radius
-    window = 2 * r + 1
-    # (dy, dx) window offsets, dy-major (torch meshgrid(dy, dx) order)
-    dy, dx = jnp.meshgrid(
+    # Window offset order matches the reference exactly (corr.py:38-42):
+    # delta = stack(meshgrid(dy, dx))[..., (dy, dx)] is added to (x, y)-ordered
+    # coords, so the flattened window's MAJOR axis offsets x and the minor
+    # axis offsets y. Weight parity of the motion encoder's 1x1 conv depends
+    # on this channel ordering.
+    major, minor = jnp.meshgrid(
         jnp.arange(-r, r + 1, dtype=jnp.float32),
         jnp.arange(-r, r + 1, dtype=jnp.float32),
         indexing="ij",
     )
-    dx = dx.reshape(-1)  # (K,)
-    dy = dy.reshape(-1)
+    dx = major.reshape(-1)  # added to x (reference quirk)
+    dy = minor.reshape(-1)  # added to y
 
     cx = coords[..., 0].reshape(b, q, 1)
     cy = coords[..., 1].reshape(b, q, 1)

@@ -85,9 +85,24 @@ def batch_spec() -> P:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Shard every leaf of a batch along its leading axis over dp(+fsdp)."""
-    sharding = NamedSharding(mesh, batch_spec())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Shard every leaf of a batch along its leading axis over dp(+fsdp).
+
+    Leaves whose leading dim is not divisible by the data-parallel extent
+    (scalars, per-step constants) are replicated instead.
+    """
+    import numpy as np
+
+    dp_size = int(np.prod([mesh.shape[a] for a in (DATA_AXIS, FSDP_AXIS)]))
+    sharded = NamedSharding(mesh, batch_spec())
+    replicated = NamedSharding(mesh, P())
+
+    def put(x):
+        arr = jax.numpy.asarray(x)
+        if arr.ndim >= 1 and arr.shape[0] % dp_size == 0:
+            return jax.device_put(arr, sharded)
+        return jax.device_put(arr, replicated)
+
+    return jax.tree.map(put, batch)
 
 
 def with_sharding(x: Any, mesh: Mesh, spec: P) -> Any:

@@ -1,0 +1,278 @@
+"""Training recipes: the four LSTP training stages as pure loss functions.
+
+One recipe per reference LightningModule family (SURVEY.md section 2.2):
+
+  TG  — stage 2: train the TGB alone with span CE against precomputed
+        pseudo-label spans (reference: src/models/LSTP_TG_blip2_module.py:244-273)
+  SF  — end-to-end self-refinement: pseudo labels are distilled from the
+        frozen MLLM every step (per-frame generate -> rouge_n -> monotone-stack
+        span), then joint lm_loss + mrc_loss with Gumbel frame selection
+        (reference: src/models/LSTP_SF_blip2_module.py:123-377,554)
+  IV  — stage 3: frames pre-selected by the data layer, train Q-Former (+
+        projection) with the mean-pooled 32-token visual prefix
+        (reference: src/models/LSTP_Blip2_IV_module.py:222-232,560-568)
+  IVT — stage 3 + LoRA adapters on the LLM, mixed image/video/text batches
+        (reference: src/models/LSTP_Blip2_IVT_module.py:184-188)
+
+The SF pseudo-label pass is phase-split (SURVEY.md section 7.3 item 1): the
+jitted generation produces token ids, the host scores them with rouge_n
+(a string metric), and the jitted loss step consumes the scores — mirroring
+how the reference itself escaped this cost with its staged pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from videotgb_tpu.models.blip2 import IGNORE_INDEX, cross_entropy_ignore
+from videotgb_tpu.models.videotgb import VideoTGB
+from videotgb_tpu.ops.span import largest_rectangle_span, rescale_index
+from videotgb_tpu.training.optim import path_freeze_filter
+
+
+def span_ce_loss(
+    start_logits: jax.Array,  # (B, L)
+    end_logits: jax.Array,
+    start_targets: jax.Array,  # (B,)
+    end_targets: jax.Array,
+) -> jax.Array:
+    """(CE(start) + CE(end)) / 2 with ignore_index == L: targets are clamped
+    into [0, L] and index L (one past the end) contributes zero loss —
+    the reference's CrossEntropyLoss(ignore_index=L) trick
+    (LSTP_SF_blip2_module.py:241-253)."""
+    l = start_logits.shape[1]
+
+    def one(logits, targets):
+        targets = jnp.clip(targets, 0, l)
+        valid = targets < l
+        safe = jnp.where(valid, targets, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+
+    return 0.5 * (one(start_logits, start_targets) + one(end_logits, end_targets))
+
+
+# ------------------------------------------------------------------ TG stage
+@dataclasses.dataclass(frozen=True)
+class TGRecipe:
+    """Trains temporal_encoder only; backbone held but out of the loss path."""
+
+    mode: str = "fusion"
+
+    @property
+    def filter_fn(self) -> Callable:
+        return path_freeze_filter(train_prefixes=("temporal_encoder",))
+
+    def loss_fn(
+        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array
+    ) -> tuple[jax.Array, dict]:
+        variables = params if "params" in params else {"params": params}
+        _, start_logits, end_logits = model.apply(
+            variables, batch["flow"], batch["flow_mask"],
+            batch["sampler_question_ids"], batch["sampler_question_mask"],
+            mode=self.mode, deterministic=False,
+            rngs={"dropout": key},
+            method=model.span_logits,
+        )
+        loss = span_ce_loss(start_logits, end_logits,
+                            batch["starts"], batch["ends"])
+        return loss, {
+            "loss": loss,
+            "start_logits": start_logits,
+            "end_logits": end_logits,
+        }
+
+
+# ------------------------------------------------------------------ SF stage
+@dataclasses.dataclass(frozen=True)
+class SFRecipe:
+    """Self-refinement: scores (B, F) from the host-side pseudo-label pass
+    feed the jitted joint loss. Freezes the vision tower only
+    (LSTP_SF_blip2_module.py:663-668)."""
+
+    mode: str = "fusion"
+
+    @property
+    def filter_fn(self) -> Callable:
+        return path_freeze_filter(freeze_prefixes=("model/vision_model",
+                                                   "of_extractor"))
+
+    def loss_fn(
+        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array
+    ) -> tuple[jax.Array, dict]:
+        variables = params if "params" in params else {"params": params}
+        drop_key, sel_key = jax.random.split(key)
+        nframe = model.config.nframe
+        num_frames = model.config.num_frames
+
+        # 1) pseudo span from the (host-provided) per-frame scores
+        starts_f, ends_f = largest_rectangle_span(batch["scores"])  # 32-frame dom.
+        flow_len = batch["video_length"]
+        start_targets = rescale_index(starts_f, num_frames, flow_len)
+        end_targets = rescale_index(ends_f, num_frames, flow_len)
+
+        # 2) TGB span loss
+        _, start_logits, end_logits = model.apply(
+            variables, batch["flow"], batch["flow_mask"],
+            batch["sampler_question_ids"], batch["sampler_question_mask"],
+            mode=self.mode, deterministic=False, rngs={"dropout": drop_key},
+            method=model.span_logits,
+        )
+        mrc_loss = span_ce_loss(start_logits, end_logits,
+                                start_targets, end_targets)
+
+        # 3) Gumbel top-k span -> fixed-size frame gather (stop-gradient:
+        #    selection trains the TGB only through mrc_loss, as in the ref)
+        cand = model.apply(
+            variables, jax.lax.stop_gradient(start_logits),
+            jax.lax.stop_gradient(end_logits),
+            flow_len, sel_key, method=model.select_frames,
+        )
+
+        # 4) backbone LM loss on the selected frames
+        sel = jnp.take_along_axis(
+            batch["frames"], cand[:, :, None, None, None], axis=1
+        )
+        lm_loss, logits = model.apply(
+            variables, sel, batch["question_ids"], batch["question_mask"],
+            batch["answer_ids"], method=_backbone_loss_method,
+        )
+        loss = lm_loss + mrc_loss
+        return loss, {
+            "loss": loss, "lm_loss": lm_loss, "mrc_loss": mrc_loss,
+            "start_targets": start_targets, "end_targets": end_targets,
+            "cand": cand,
+        }
+
+
+def _backbone_loss_method(mdl: VideoTGB, pixel_values, question_ids,
+                          question_mask, answer_ids):
+    return mdl.model(pixel_values, question_ids, question_mask, answer_ids)
+
+
+# ------------------------------------------------------------------ IV stage
+@dataclasses.dataclass(frozen=True)
+class IVRecipe:
+    """Stage 3 fixed-sampler: Q-Former (+projection) trains; everything else
+    frozen (LSTP_Blip2_IV_module.py:560-568). Frames arrive pre-selected."""
+
+    @property
+    def filter_fn(self) -> Callable:
+        return path_freeze_filter(
+            train_prefixes=("model/qformer", "model/language_projection",
+                            "model/query_tokens"),
+        )
+
+    def loss_fn(
+        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array
+    ) -> tuple[jax.Array, dict]:
+        variables = params if "params" in params else {"params": params}
+        lm_loss, logits = model.apply(
+            variables, batch["frames"], batch["question_ids"],
+            batch["question_mask"], batch["answer_ids"],
+            True,  # mean_pool
+            method=_backbone_loss_mean_pool_method,
+        )
+        return lm_loss, {"loss": lm_loss}
+
+
+def _backbone_loss_mean_pool_method(mdl: VideoTGB, pixel_values, question_ids,
+                                    question_mask, answer_ids, mean_pool):
+    return mdl.model(pixel_values, question_ids, question_mask, answer_ids,
+                     mean_pool=mean_pool)
+
+
+# ----------------------------------------------------------------- IVT stage
+@dataclasses.dataclass(frozen=True)
+class IVTRecipe:
+    """Stage 3 + LoRA: adapters + Q-Former train (LSTP_Blip2_IVT_module.py:
+    184-188). Configure the LLM with lora_rank=8 for this recipe."""
+
+    @property
+    def filter_fn(self) -> Callable:
+        return path_freeze_filter(
+            train_prefixes=("model/qformer", "model/language_projection",
+                            "model/query_tokens"),
+            train_lora_only=True,
+        )
+
+    loss_fn = IVRecipe.loss_fn
+
+
+RECIPES = {"tg": TGRecipe, "sf": SFRecipe, "iv": IVRecipe, "ivt": IVTRecipe}
+
+
+# -------------------------------------------- SF pseudo-label generation pass
+def pseudo_label_generate(
+    model: VideoTGB,
+    params: Any,
+    frames: jax.Array,  # (B, F, H, W, 3)
+    question_ids: jax.Array,  # (B, Tq)
+    question_mask: jax.Array,
+    max_new_tokens: int = 32,
+) -> jax.Array:
+    """Per-frame greedy generation for self-refinement scoring: every one of
+    the B*F frames is encoded alone and answers the question
+    (LSTP_SF_blip2_module.py:151-192; reference uses max_length=128 — trim
+    via max_new_tokens for budget). Returns token ids (B*F, max_new_tokens).
+    Host then scores rouge_n(decode(ids), answer) -> scores (B, F)."""
+    from videotgb_tpu.ops.decode import DecodeConfig, decode
+
+    cfg = model.config
+    t5cfg = cfg.blip2.t5
+    b, f = frames.shape[:2]
+    bf = b * f
+    flat = frames.reshape(bf, *frames.shape[2:])
+    visual = model.apply(params, flat, method=_encode_frames_method)  # (BF,32,d)
+    q_ids = jnp.repeat(question_ids, f, axis=0)
+    q_mask = jnp.repeat(question_mask, f, axis=0)
+    embeds, mask = model.apply(params, visual, q_ids, q_mask,
+                               method=_encoder_inputs_method)
+    enc_hidden = model.apply(params, embeds, mask, method=_t5_encode_method)
+
+    caches = model.apply(params, bf, max_new_tokens, enc_hidden.shape[1],
+                         method=model.init_t5_caches)
+    start = jnp.full((bf,), t5cfg.decoder_start_token_id, jnp.int32)
+
+    def valid(index):
+        return jnp.broadcast_to(
+            (jnp.arange(max_new_tokens)[None] <= index).astype(jnp.float32),
+            (bf, max_new_tokens))
+
+    logits0, caches = model.apply(
+        params, start[:, None], enc_hidden, mask, caches, jnp.int32(0),
+        valid(0), True, method=model.t5_decode_step)
+
+    def loop_step(tokens, caches, index):
+        return model.apply(params, tokens, enc_hidden, mask, caches, index,
+                           valid(index), False, method=model.t5_decode_step)
+
+    def step_fn(tokens, caches, index):
+        return jax.lax.cond(
+            index == 0,
+            lambda: (logits0.astype(jnp.float32), caches),
+            lambda: loop_step(tokens, caches, index),
+        )
+
+    dcfg = DecodeConfig(max_new_tokens=max_new_tokens,
+                        eos_token_id=t5cfg.eos_token_id,
+                        pad_token_id=t5cfg.pad_token_id)
+    return decode(step_fn, caches, start, dcfg)
+
+
+def _encode_frames_method(mdl: VideoTGB, flat):
+    return mdl.model.encode_frames(flat)
+
+
+def _encoder_inputs_method(mdl: VideoTGB, visual, q_ids, q_mask):
+    return mdl.model.encoder_inputs(visual, q_ids, q_mask)
+
+
+def _t5_encode_method(mdl: VideoTGB, embeds, mask):
+    return mdl.model.language_model.encode(embeds, mask)
