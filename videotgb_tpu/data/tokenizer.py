@@ -1,0 +1,97 @@
+"""Tokenizers: HF-backed when vocab assets exist, byte-level fallback otherwise.
+
+The reference loads three tokenizers from the hub (BERT for the TGB sampler,
+the backbone processor's T5/LLaMA tokenizer — reference:
+src/data/videoinstruct_datamodule.py:136-145). This environment has no hub
+access, so :class:`ByteTokenizer` provides a deterministic, reversible
+byte-level scheme with the same call surface (`__call__` with
+padding/truncation -> {"input_ids", "attention_mask"}, `batch_decode`) for
+tests, synthetic benchmarks, and smoke training. Real deployments drop in HF
+tokenizers via :func:`load_tokenizer`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Encoding:
+    input_ids: np.ndarray
+    attention_mask: np.ndarray
+
+    def __getitem__(self, key: str):
+        return getattr(self, key)
+
+
+class ByteTokenizer:
+    """Bytes + specials. ids: 0=pad, 1=eos, 2=bos, 3=unk, byte b -> b + 4."""
+
+    pad_token_id = 0
+    eos_token_id = 1
+    bos_token_id = 2
+    unk_token_id = 3
+    offset = 4
+
+    def __init__(self, vocab_size: int = 260, add_bos: bool = False,
+                 add_eos: bool = True):
+        self.vocab_size = max(vocab_size, 260)
+        self.add_bos = add_bos
+        self.add_eos = add_eos
+        self.name_or_path = "byte-tokenizer"
+
+    def encode(self, text: str) -> list[int]:
+        ids = [b + self.offset for b in text.encode("utf-8")]
+        if self.add_bos:
+            ids = [self.bos_token_id] + ids
+        if self.add_eos:
+            ids = ids + [self.eos_token_id]
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        out = bytearray()
+        for i in ids:
+            i = int(i)
+            if i >= self.offset:
+                out.append(i - self.offset)
+            elif not skip_special_tokens:
+                out.extend(f"<{i}>".encode())
+        return out.decode("utf-8", errors="replace")
+
+    def batch_decode(self, batch, skip_special_tokens: bool = True) -> list[str]:
+        return [self.decode(ids, skip_special_tokens) for ids in batch]
+
+    def __call__(
+        self,
+        text: str | list[str],
+        padding: str = "longest",
+        truncation: bool = True,
+        max_length: int = 128,
+        return_tensors: str | None = "np",
+        **_,
+    ) -> Encoding:
+        texts = [text] if isinstance(text, str) else list(text)
+        encoded = [self.encode(t) for t in texts]
+        if truncation:
+            encoded = [e[:max_length] for e in encoded]
+        width = max_length if padding == "max_length" else max(len(e) for e in encoded)
+        ids = np.full((len(encoded), width), self.pad_token_id, np.int32)
+        mask = np.zeros((len(encoded), width), np.int32)
+        for i, e in enumerate(encoded):
+            ids[i, : len(e)] = e
+            mask[i, : len(e)] = 1
+        return Encoding(ids, mask)
+
+
+def load_tokenizer(name_or_path: str | None, **kwargs):
+    """HF AutoTokenizer when resolvable, ByteTokenizer otherwise."""
+    if name_or_path in (None, "byte", "byte-tokenizer"):
+        return ByteTokenizer(**kwargs)
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(name_or_path, local_files_only=True)
+    except Exception:
+        return ByteTokenizer(**kwargs)

@@ -1,0 +1,148 @@
+"""Host-side video ingest: frame sampling rules + OpenCV decode.
+
+Port of the reference's reader zoo (reference: src/data/components/util.py):
+``sample_frames`` (:20-34) with uniform / random / headtail chunked sampling,
+the duplicate-when-short loop (:89-92), directory-of-images readers (:37-71),
+and video decode. PyAV/decord are absent in this image, so decode uses
+OpenCV's VideoCapture (cv2 is bundled); the native C++ ingest path
+(videotgb_tpu.data.native) accelerates the resize/normalize stage.
+
+Decode dominated the reference's latency (19.3 s/video, demo/debug.py:22-25 —
+BASELINE.md); here frames are decoded once, strided, at target resolution.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+
+def sample_frames(num_frames: int, vlen: int, sampling: str = "uniform") -> list[int]:
+    """Pick ``num_frames`` indices from ``vlen`` (util.py:20-34): split
+    [0, vlen) into num_frames chunks; uniform takes each chunk's start,
+    rand a random element, headtail random halves from first/last chunks."""
+    intervals = np.linspace(0, vlen, num_frames + 1).astype(int)
+    ranges = [(intervals[i], intervals[i + 1]) for i in range(num_frames)]
+    if sampling == "uniform":
+        return [r[0] for r in ranges]
+    if sampling == "rand":
+        return [random.randrange(r[0], max(r[1], r[0] + 1)) for r in ranges]
+    if sampling == "headtail":
+        half = num_frames // 2
+        head = sorted(random.sample(range(vlen // 2), min(half, vlen // 2)))
+        tail = sorted(random.sample(range(vlen // 2, vlen),
+                                    min(num_frames - half, vlen - vlen // 2)))
+        return head + tail
+    raise NotImplementedError(sampling)
+
+
+def duplicate_to_length(indices: list[int], minimum: int) -> list[int]:
+    """Double every element until the list reaches ``minimum``
+    (util.py:89-92 / LSTP_SF_blip2_module.py:303-305)."""
+    while len(indices) < minimum:
+        indices = [x for i in indices for x in (i, i)]
+    return indices
+
+
+def read_video_cv2(
+    path: str,
+    num_frames: int | None = None,
+    sampling: str = "uniform",
+    fps: float | None = None,
+    size: tuple[int, int] | None = None,
+) -> tuple[np.ndarray, float]:
+    """Decode a video -> (frames (T, H, W, 3) uint8 RGB, native_fps).
+
+    num_frames: sample that many (duplicating when short); fps: instead
+    decode at ~fps frames/sec over the whole timeline (the flow-frame path,
+    eval/utils/builder_utils.py:25-45); size: resize at decode time (cheaper
+    than a second pass).
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(path)
+    native_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total <= 0:
+        # some containers misreport; decode everything
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+        cap.release()
+        if not frames:
+            raise ValueError(f"no frames decoded from {path}")
+        arr = np.stack(frames)
+        total = len(arr)
+        wanted = _wanted_indices(total, num_frames, fps, native_fps, sampling)
+        out = arr[wanted]
+        return _postprocess(out, size), native_fps
+
+    wanted = _wanted_indices(total, num_frames, fps, native_fps, sampling)
+    unique = sorted(set(wanted))
+    grabbed: dict[int, np.ndarray] = {}
+    pos = 0
+    for target in unique:
+        if target != pos:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, target)
+            pos = target
+        ok, frame = cap.read()
+        pos += 1
+        if not ok:
+            break
+        grabbed[target] = frame
+    cap.release()
+    if not grabbed:
+        raise ValueError(f"no frames decoded from {path}")
+    last = max(grabbed)
+    out = np.stack([grabbed.get(i, grabbed[min(i, last)]) for i in wanted])
+    return _postprocess(out, size), native_fps
+
+
+def _wanted_indices(total, num_frames, fps, native_fps, sampling):
+    if fps is not None:
+        step = max(int(round(native_fps / fps)), 1)
+        idx = list(range(0, total, step))
+        return duplicate_to_length(idx, 1)
+    assert num_frames is not None
+    if total >= num_frames:
+        return sample_frames(num_frames, total, sampling)
+    idx = duplicate_to_length(list(range(total)), num_frames)
+    return [idx[i] for i in sample_frames(num_frames, len(idx), sampling)]
+
+
+def _postprocess(frames_bgr: np.ndarray, size) -> np.ndarray:
+    import cv2
+
+    frames = frames_bgr[..., ::-1]  # BGR -> RGB
+    if size is not None:
+        h, w = size
+        frames = np.stack(
+            [cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR) for f in frames]
+        )
+    return np.ascontiguousarray(frames)
+
+
+def read_frames_dir(
+    directory: str, num_frames: int, sampling: str = "uniform",
+    extensions: tuple[str, ...] = (".jpg", ".jpeg", ".png"),
+) -> np.ndarray:
+    """Read a directory of per-frame images (util.py:37-71)."""
+    import cv2
+
+    names = sorted(
+        f for f in os.listdir(directory) if f.lower().endswith(extensions)
+    )
+    if not names:
+        raise FileNotFoundError(f"no frames in {directory}")
+    idx = _wanted_indices(len(names), num_frames, None, None, sampling)
+    frames = [
+        cv2.imread(os.path.join(directory, names[i]))[..., ::-1] for i in idx
+    ]
+    return np.stack(frames)
