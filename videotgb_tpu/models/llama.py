@@ -63,7 +63,7 @@ class LlamaConfig:
 
     @classmethod
     def tiny(cls) -> "LlamaConfig":
-        return cls(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        return cls(vocab_size=384, hidden_size=32, num_layers=2, num_heads=4,
                    intermediate_size=64)
 
 

@@ -59,7 +59,7 @@ class QFormerConfig:
 
     @classmethod
     def tiny(cls, encoder_hidden_size: int = 64) -> "QFormerConfig":
-        return cls(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+        return cls(vocab_size=384, hidden_size=32, num_layers=2, num_heads=2,
                    intermediate_size=64, num_query_tokens=8,
                    encoder_hidden_size=encoder_hidden_size)
 

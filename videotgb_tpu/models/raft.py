@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from videotgb_tpu.ops.correlation import build_corr_pyramid, lookup_corr_pyramid
+from videotgb_tpu.ops.correlation import build_corr_pyramid, lookup_corr_pyramid_dense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,6 +175,28 @@ class BasicUpdateBlock(nn.Module):
         return net, 0.25 * mask, delta
 
 
+class _UpdateIteration(nn.Module):
+    """One GRU refinement step, shaped for nn.scan: params are broadcast
+    across iterations (RAFT shares update weights, xraft.py:133-153), and the
+    whole loop compiles once instead of 20 unrolled copies."""
+
+    config: RAFTConfig
+
+    @nn.compact
+    def __call__(self, carry, _):
+        net, coords1, mask, inp, coords0, pyramid = carry
+        corr = lookup_corr_pyramid_dense(list(pyramid), coords1, self.config.corr_radius)
+        flow = coords1 - coords0
+        motion = BasicMotionEncoder(self.config, name="encoder")(flow, corr)
+        net = SepConvGRU(self.config.hidden_dim, name="gru")(
+            net, jnp.concatenate([inp, motion], axis=-1))
+        delta = _conv(2, 3, name="flow_head_conv2")(
+            nn.relu(_conv(256, 3, name="flow_head_conv1")(net)))
+        mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask_conv2")(
+            nn.relu(_conv(256, 3, name="mask_conv1")(net)))
+        return (net, coords1 + delta, mask, inp, coords0, pyramid), None
+
+
 def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
     """flow (B, H, W, 2), mask (B, H, W, 64*9) -> (B, 8H, 8W, 2)
     (xraft.py:88-100): softmax over 9 taps of 8x-scaled 3x3 flow patches."""
@@ -217,16 +239,15 @@ class RAFT(nn.Module):
                               jnp.arange(w8, dtype=jnp.float32), indexing="ij")
         coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (b, h8, w8, 2))
 
-        update = BasicUpdateBlock(cfg, name="update_block")
-
-        # 20 shared-weight GRU iterations. Unrolled python loop (static count)
-        # so flax param creation stays outside lax control flow; XLA dedupes
-        # the repeated computation graphs.
-        coords1 = coords0
-        mask = None
-        for _ in range(cfg.iters):
-            corr = lookup_corr_pyramid(pyramid, coords1, cfg.corr_radius)
-            flow = coords1 - coords0
-            net, mask, delta = update(net, inp, corr, flow)
-            coords1 = coords1 + delta
+        # 20 shared-weight GRU iterations as a single scanned program
+        # (compile-time stays constant in iteration count)
+        scan = nn.scan(
+            _UpdateIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=cfg.iters,
+        )
+        mask0 = jnp.zeros((b, h8, w8, 64 * 9), jnp.float32)
+        carry0 = (net, coords0, mask0, inp, coords0, tuple(pyramid))
+        (net, coords1, mask, *_), _ = scan(cfg, name="update_block")(carry0, None)
         return convex_upsample(coords1 - coords0, mask)

@@ -69,7 +69,7 @@ class T5Config:
 
     @classmethod
     def tiny(cls) -> "T5Config":
-        return cls(vocab_size=64, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        return cls(vocab_size=384, d_model=32, d_kv=8, num_heads=4, d_ff=64,
                    num_encoder_layers=2, num_decoder_layers=2)
 
 

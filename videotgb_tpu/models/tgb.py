@@ -73,7 +73,7 @@ class TGBConfig:
 
     @classmethod
     def tiny(cls) -> "TGBConfig":
-        return cls(vocab_size=64, hidden_size=32, num_layers=4, num_heads=2,
+        return cls(vocab_size=384, hidden_size=32, num_layers=4, num_heads=2,
                    intermediate_size=64, fusion_layer=2, encoder_width=32,
                    flow_size=32, max_position_embeddings=128)
 

@@ -47,6 +47,56 @@ class VideoTGBConfig:
     gumbel_tau: float = 0.5
 
     @classmethod
+    def small(cls, backbone: str = "blip2") -> "VideoTGBConfig":
+        """Flagship-shaped but depth/width-reduced: same tower structure,
+        token counts, and selection pipeline as production, sized for
+        single-chip compile checks and CPU-mesh dryruns."""
+        import dataclasses as _dc
+
+        from videotgb_tpu.models.qformer import QFormerConfig
+        from videotgb_tpu.models.t5 import T5Config
+        from videotgb_tpu.models.vit import ViTConfig
+        from videotgb_tpu.models.tgb import TGBConfig
+        from videotgb_tpu.models.llama import LlamaConfig
+        from videotgb_tpu.models.raft import RAFTConfig
+
+        vit = ViTConfig(image_size=224, patch_size=14, hidden_size=256,
+                        num_layers=4, num_heads=8, intermediate_size=512)
+        qf = QFormerConfig(hidden_size=256, num_layers=4, num_heads=8,
+                           intermediate_size=512, num_query_tokens=32,
+                           encoder_hidden_size=256)
+        t5 = T5Config(d_model=256, d_kv=32, num_heads=8, d_ff=512,
+                      num_encoder_layers=4, num_decoder_layers=4)
+        llm = LlamaConfig(hidden_size=256, num_layers=4, num_heads=8,
+                          intermediate_size=512)
+        tgb = TGBConfig(hidden_size=256, num_layers=4, num_heads=8,
+                        intermediate_size=512, fusion_layer=2,
+                        encoder_width=256)
+        return cls(
+            backbone=backbone,
+            blip2=Blip2Config(vit=vit, qformer=qf, t5=t5)
+            if backbone == "blip2" else None,
+            instructblip=InstructBlipConfig(vit=vit, qformer=qf, llm=llm)
+            if backbone == "instructblip" else None,
+            tgb=tgb,
+            raft=RAFTConfig(iters=4),
+            nframe=4,
+            num_frames=32,
+        )
+
+    @classmethod
+    def flagship(cls, backbone: str = "blip2") -> "VideoTGBConfig":
+        """Production scale: ViT-g + Q-Former + Flan-T5-xl (or Vicuna-7B) +
+        TGB(BERT-base) + RAFT — the reference's released model sizes
+        (README.md:159-161)."""
+        return cls(
+            backbone=backbone,
+            blip2=Blip2Config() if backbone == "blip2" else None,
+            instructblip=InstructBlipConfig()
+            if backbone == "instructblip" else None,
+        )
+
+    @classmethod
     def tiny(cls, backbone: str = "blip2") -> "VideoTGBConfig":
         return cls(
             backbone=backbone,

@@ -37,7 +37,10 @@ def build_corr_pyramid(
     for _ in range(num_levels - 1):
         c_ = pyramid[-1]
         bh, q, hh, ww = c_.shape
-        c_ = c_.reshape(bh, q, hh // 2, 2, ww // 2, 2).mean(axis=(3, 5))
+        # torch avg_pool2d(2, 2) floors odd dims: crop the trailing row/col
+        he, we = (hh // 2) * 2, (ww // 2) * 2
+        c_ = c_[:, :, :he, :we]
+        c_ = c_.reshape(bh, q, he // 2, 2, we // 2, 2).mean(axis=(3, 5))
         pyramid.append(c_)
     return pyramid
 
@@ -72,6 +75,52 @@ def _bilinear_lookup_level(
         + v10 * (1 - tx) * ty
         + v11 * tx * ty
     )
+
+
+def lookup_corr_pyramid_dense(
+    pyramid: list[jax.Array], coords: jax.Array, radius: int = 4
+) -> jax.Array:
+    """MXU-native lookup: the bilinear window sample decomposed into two
+    dense hat-weight matmuls per level — zero gathers.
+
+    bilinear-with-zero-padding is separable:
+      out[q, i, j] = sum_{y,x} hat(x - px[q,i]) * hat(y - py[q,j]) * corr[q,y,x]
+    with hat(d) = max(0, 1 - |d|) vanishing outside [-1, 1], which reproduces
+    grid_sample's zero padding exactly. The weights are computed from iota
+    comparisons (dense (Q, 9, W) / (Q, 9, H)) and contracted on the MXU —
+    ~200 MFLOP per level vs. thousands of serialized TPU gathers for the
+    take_along_axis formulation (the reference's only-native-op hot spot,
+    SURVEY.md section 2.6).
+
+    Tap ordering matches the reference exactly: flattened k = i*(2r+1)+j with
+    the major axis i offsetting x (corr.py:38-42 quirk, see lookup_corr_pyramid).
+    """
+    b, h, w, _ = coords.shape
+    q = h * w
+    r = radius
+    k = 2 * r + 1
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)  # (k,)
+    cx = coords[..., 0].reshape(b, q)
+    cy = coords[..., 1].reshape(b, q)
+
+    outs = []
+    for i, corr in enumerate(pyramid):
+        scale = 1.0 / (2 ** i)
+        hl, wl = corr.shape[2], corr.shape[3]
+        px = cx[:, :, None] * scale + offs[None, None, :]  # (B, Q, k)
+        py = cy[:, :, None] * scale + offs[None, None, :]
+        xs = jnp.arange(wl, dtype=jnp.float32)
+        ys = jnp.arange(hl, dtype=jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[None, None, None, :] - px[..., None]))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, None, None, :] - py[..., None]))
+        # corr (B,Q,H,W) x wx (B,Q,k,W) -> (B,Q,H,k) ; then wy -> (B,Q,k,k)
+        tmp = jnp.einsum("bqhw,bqiw->bqhi", corr, wx,
+                         preferred_element_type=jnp.float32)
+        lvl = jnp.einsum("bqjh,bqhi->bqij", wy, tmp,
+                         preferred_element_type=jnp.float32)
+        outs.append(lvl.reshape(b, q, k * k))
+    out = jnp.concatenate(outs, axis=-1)
+    return out.reshape(b, h, w, out.shape[-1])
 
 
 def lookup_corr_pyramid(

@@ -1,0 +1,281 @@
+"""Training entry point: ``python -m videotgb_tpu.train experiment=...``.
+
+The TPU equivalent of the reference's hydra entry (reference:
+src/train.py:35-132): compose the config tree, build datamodule + model +
+recipe + trainer, fit with checkpointing/early-stop, optionally test.
+Overrides use the same dotted grammar (``model.optimizer.lr=1e-4``,
+``experiment=LSTP_TG_blip2flant5xl_videoinstruct``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any
+
+import jax
+import numpy as np
+
+from videotgb_tpu.config import Config, compose
+from videotgb_tpu.utils.logging import get_logger, print_config_tree
+
+log = get_logger("videotgb.train")
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+
+
+def build_model(cfg: Config):
+    from videotgb_tpu.models.videotgb import VideoTGB, VideoTGBConfig
+
+    preset = cfg.model.get("preset", "flagship")
+    backbone = cfg.model.get("backbone", "blip2")
+    mcfg = getattr(VideoTGBConfig, preset)(backbone)
+    if cfg.model.get("lora_rank"):
+        import dataclasses
+
+        if backbone == "blip2":
+            t5 = dataclasses.replace(mcfg.blip2.t5, lora_rank=cfg.model.lora_rank)
+            mcfg = dataclasses.replace(
+                mcfg, blip2=dataclasses.replace(mcfg.blip2, t5=t5))
+        else:
+            llm = dataclasses.replace(mcfg.instructblip.llm,
+                                      lora_rank=cfg.model.lora_rank)
+            mcfg = dataclasses.replace(
+                mcfg,
+                instructblip=dataclasses.replace(mcfg.instructblip, llm=llm))
+    return VideoTGB(mcfg), mcfg
+
+
+def build_recipe(cfg: Config):
+    from videotgb_tpu.training.recipes import RECIPES
+
+    name = cfg.model.get("recipe", "tg")
+    kwargs = {}
+    if name in ("tg", "sf") and cfg.model.get("tgb_mode"):
+        kwargs["mode"] = cfg.model.tgb_mode
+    return RECIPES[name](**kwargs)
+
+
+def build_data(cfg: Config, mcfg):
+    from videotgb_tpu.data.datasets import (
+        SyntheticVideoQA, VideoInstructDataset, collate_videoinstruct,
+    )
+    from videotgb_tpu.data.loader import PrefetchLoader
+    from videotgb_tpu.data.tokenizer import load_tokenizer
+
+    dcfg = cfg.data
+    tok = load_tokenizer(dcfg.get("tokenizer"))
+    sampler_tok = load_tokenizer(dcfg.get("sampler_tokenizer"))
+    kind = dcfg.get("name", "synthetic")
+    common = dict(
+        num_frames=mcfg.num_frames,
+        max_flow_len=dcfg.get("max_flow_len", 64),
+        nframe=mcfg.nframe,
+        image_size=mcfg.blip2.vit.image_size if mcfg.blip2 else
+        mcfg.instructblip.vit.image_size,
+    )
+    if kind == "synthetic":
+        train_ds = SyntheticVideoQA(
+            length=dcfg.get("train_size", 64),
+            flow_size=mcfg.tgb.flow_size,
+            flow_len_range=tuple(dcfg.get("flow_len_range", (8, 64))),
+            seed=cfg.get("seed", 0), **common)
+        val_ds = SyntheticVideoQA(
+            length=dcfg.get("val_size", 16), flow_size=mcfg.tgb.flow_size,
+            flow_len_range=tuple(dcfg.get("flow_len_range", (8, 64))),
+            seed=cfg.get("seed", 0) + 1, **common)
+    elif kind == "videoinstruct":
+        train_ds = VideoInstructDataset(
+            dcfg.text_dir, dcfg.video_dir, dcfg.of_dir, split="train", **common)
+        val_ds = VideoInstructDataset(
+            dcfg.text_dir, dcfg.video_dir, dcfg.of_dir, split="val", **common)
+    else:
+        raise ValueError(f"unknown data.name {kind}")
+
+    def collate(samples):
+        return collate_videoinstruct(
+            samples, tok, sampler_tok,
+            max_flow_len=common["max_flow_len"],
+            max_txt_len=dcfg.get("max_txt_len", 128),
+            nframe=mcfg.nframe,
+            answer_len=dcfg.get("answer_len", 32),
+        )
+
+    loader_kw = dict(
+        batch_size=dcfg.get("batch_size", 2),
+        collate_fn=collate,
+        num_workers=dcfg.get("num_workers", 8),
+        seed=cfg.get("seed", 0),
+    )
+    return (PrefetchLoader(train_ds, shuffle=True, **loader_kw),
+            PrefetchLoader(val_ds, shuffle=False, **loader_kw), tok)
+
+
+def evaluate_tg(model, recipe, state, loader, tok) -> dict[str, float]:
+    """TG-stage validation: span IoU metrics
+    (reference: LSTP_TG_blip2_module.py:397-451)."""
+    import jax.numpy as jnp
+
+    from videotgb_tpu.data.loader import device_batch
+    from videotgb_tpu.training import metrics as M
+
+    iou_state = M.iou_init()
+    loss_state = M.mean_init()
+    for batch in loader:
+        db = device_batch(batch)
+        loss, aux = recipe.loss_fn(model, state.params, db, jax.random.key(0))
+        iou_state = M.iou_update(
+            iou_state, aux["start_logits"], aux["end_logits"],
+            db["starts"], db["ends"])
+        loss_state = M.mean_update(loss_state, loss)
+    iou, iou3, iou5 = M.iou_compute(iou_state)
+    return {
+        "val/loss": float(M.mean_compute(loss_state)),
+        "val/iou_score": float(iou),
+        "val/iou_3": float(iou3),
+        "val/iou_5": float(iou5),
+    }
+
+
+def train(cfg: Config) -> dict[str, float]:
+    from flax import linen as nn
+
+    from videotgb_tpu.data.loader import device_batch
+    from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
+    from videotgb_tpu.training.checkpoint import CheckpointConfig, CheckpointManager
+    from videotgb_tpu.training.trainer import Trainer, TrainerConfig
+
+    seed = cfg.get("seed", 42)
+    model, mcfg = build_model(cfg)
+    recipe = build_recipe(cfg)
+    train_loader, val_loader, tok = build_data(cfg, mcfg)
+
+    tcfg_raw = cfg.get("trainer", Config())
+    max_steps = tcfg_raw.get("max_steps",
+                             tcfg_raw.get("max_epochs", 1) * len(train_loader))
+    tcfg = TrainerConfig(
+        max_steps=max_steps,
+        lr=cfg.model.get("optimizer", Config()).get("lr", 5e-5),
+        weight_decay=cfg.model.get("optimizer", Config()).get("weight_decay", 0.0),
+        warmup_ratio=cfg.model.get("scheduler", Config()).get("warmup", 0.05),
+        accumulate_grad_batches=tcfg_raw.get("accumulate_grad_batches", 1),
+        log_every=tcfg_raw.get("log_every", 10),
+        eval_every=tcfg_raw.get("eval_every", max(max_steps // 4, 1)),
+        monitor=tcfg_raw.get("monitor", "val/iou_score"),
+        seed=seed,
+        mesh=MeshConfig(dp=tcfg_raw.get("dp", -1), fsdp=tcfg_raw.get("fsdp", 1),
+                        tp=tcfg_raw.get("tp", 1)),
+    )
+
+    def loss_fn(params, batch, key):
+        return recipe.loss_fn(model, params, batch, key)
+
+    trainer = Trainer(tcfg, loss_fn, filter_fn=recipe.filter_fn)
+
+    # init params from one batch
+    first = next(iter(train_loader))
+    db = device_batch(first)
+    import jax.numpy as jnp
+
+    key = jax.random.key(seed)
+    variables = model.init(
+        key, jnp.asarray(db["frames"]), jnp.asarray(db["flow"]),
+        jnp.asarray(db["flow_mask"]), jnp.asarray(db["video_length"]),
+        jnp.asarray(db["sampler_question_ids"]),
+        jnp.asarray(db["sampler_question_mask"]),
+        jnp.asarray(db["question_ids"]), jnp.asarray(db["question_mask"]),
+        key, method=model.init_pipeline,
+    )
+    params = nn.meta.unbox(variables)["params"]
+    state = trainer.init_state(params)
+
+    ckpt_dir = cfg.get("paths", Config()).get("ckpt_dir", "outputs/checkpoints")
+    ckpt = CheckpointManager(CheckpointConfig(directory=ckpt_dir,
+                                              monitor=tcfg.monitor))
+    if cfg.get("ckpt_path"):
+        restored = ckpt.restore(template={"params": state.params})
+        state.params = restored["params"]
+        log.info("resumed from %s", cfg.ckpt_path)
+
+    def eval_fn(state):
+        if cfg.model.get("recipe", "tg") == "tg":
+            return evaluate_tg(model, recipe, state, val_loader, tok)
+        # generic: mean val loss
+        from videotgb_tpu.training import metrics as M
+
+        loss_state = M.mean_init()
+        for batch in val_loader:
+            loss, _ = recipe.loss_fn(model, state.params,
+                                     device_batch(batch), jax.random.key(0))
+            loss_state = M.mean_update(loss_state, loss)
+        return {"val/loss": float(M.mean_compute(loss_state))}
+
+    def checkpoint_fn(state, metrics):
+        ckpt.save(int(state.step), {"params": state.params}, metrics)
+
+    is_sf = cfg.model.get("recipe", "tg") == "sf"
+    text_answers: dict[str, list] = {}
+
+    def batches():
+        step = 0
+        while step < tcfg.max_steps:
+            for batch in train_loader:
+                db = device_batch(batch)
+                if is_sf:
+                    db["_text_answer"] = batch["_text_answer"]
+                yield db
+                step += 1
+                if step >= tcfg.max_steps:
+                    return
+
+    def batch_transform(cur_state, db):
+        if not is_sf:
+            return db
+        answers = db.pop("_text_answer")
+        db["scores"] = sf_pseudo_scores(
+            model, cur_state.params, db, answers, tok,
+            max_new_tokens=cfg.model.get("pseudo_max_new", 16))
+        return db
+
+    state = trainer.fit(state, batches(), eval_fn=eval_fn,
+                        checkpoint_fn=checkpoint_fn,
+                        batch_transform=batch_transform)
+    final = eval_fn(state)
+    checkpoint_fn(state, final)
+    ckpt.wait()
+    log.info("final metrics: %s", final)
+    return final
+
+
+def sf_pseudo_scores(model, params, db, text_answers, tok,
+                     max_new_tokens: int = 16):
+    """The SF self-refinement scoring pass: per-frame greedy generation
+    (device) -> decode + rouge_n recall vs the gold answer (host) -> scores
+    (B, F) (reference: LSTP_SF_blip2_module.py:151-192)."""
+    import jax.numpy as jnp
+
+    from videotgb_tpu.training.metrics import rouge_n
+    from videotgb_tpu.training.recipes import pseudo_label_generate
+
+    frames = jnp.asarray(db["frames"])
+    b, f = frames.shape[:2]
+    ids = pseudo_label_generate(
+        model, {"params": params} if "params" not in params else params,
+        frames, jnp.asarray(db["question_ids"]),
+        jnp.asarray(db["question_mask"]), max_new_tokens=max_new_tokens,
+    )
+    predictions = tok.batch_decode(np.asarray(ids), skip_special_tokens=True)
+    targets = [text_answers[i // f] for i in range(b * f)]
+    scores = np.asarray(rouge_n(targets, predictions), np.float32)
+    return jnp.asarray(scores.reshape(b, f))
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = compose(CONFIG_DIR, "train", argv)
+    print_config_tree(cfg)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -178,10 +178,15 @@ class Trainer:
         train_iter: Iterable[dict],
         eval_fn: Callable[[TrainState], dict] | None = None,
         checkpoint_fn: Callable[[TrainState, dict], None] | None = None,
+        batch_transform: Callable[[TrainState, dict], dict] | None = None,
     ) -> TrainState:
+        """``batch_transform(state, batch)`` runs host-side per step with the
+        CURRENT params — the hook for the SF pseudo-label scoring pass."""
         cfg = self.config
         t0 = time.perf_counter()
         for batch in train_iter:
+            if batch_transform is not None:
+                batch = batch_transform(state, batch)
             state, metrics = self.train_step(state, batch)
             step = int(state.step)
             if step % cfg.log_every == 0:
