@@ -54,10 +54,12 @@ class ByteTokenizer:
         out = bytearray()
         for i in ids:
             i = int(i)
-            if i >= self.offset:
+            if self.offset <= i < self.offset + 256:
                 out.append(i - self.offset)
             elif not skip_special_tokens:
                 out.extend(f"<{i}>".encode())
+            # ids beyond the byte range (vocab padding slots a model may
+            # emit with random weights) decode to nothing
         return out.decode("utf-8", errors="replace")
 
     def batch_decode(self, batch, skip_special_tokens: bool = True) -> list[str]:

@@ -1,0 +1,80 @@
+"""Evaluation entry point: ``python -m videotgb_tpu.evaluate ckpt_path=...``.
+
+The reference's src/eval.py:33-93 equivalent: compose the eval config,
+restore the checkpoint, run the recipe's validation loop on the test split,
+and report metrics. Requires ``ckpt_path`` (asserted like the reference
+eval.py:42).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+from flax import linen as nn
+
+from videotgb_tpu.config import Config, compose
+from videotgb_tpu.utils.logging import get_logger, print_config_tree
+
+log = get_logger("videotgb.eval")
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+
+
+def evaluate(cfg: Config) -> dict[str, float]:
+    from videotgb_tpu.train import build_data, build_model, build_recipe, evaluate_tg
+    from videotgb_tpu.training.checkpoint import CheckpointConfig, CheckpointManager
+    from videotgb_tpu.training.trainer import TrainState
+
+    assert cfg.get("ckpt_path") not in (None, "???"), "ckpt_path is required"
+
+    model, mcfg = build_model(cfg)
+    recipe = build_recipe(cfg)
+    _, val_loader, tok = build_data(cfg, mcfg)
+
+    # init a template tree then restore
+    import jax.numpy as jnp
+
+    first = next(iter(val_loader))
+    from videotgb_tpu.data.loader import device_batch
+
+    db = device_batch(first)
+    key = jax.random.key(cfg.get("seed", 42))
+    variables = model.init(
+        key, jnp.asarray(db["frames"]), jnp.asarray(db["flow"]),
+        jnp.asarray(db["flow_mask"]), jnp.asarray(db["video_length"]),
+        jnp.asarray(db["sampler_question_ids"]),
+        jnp.asarray(db["sampler_question_mask"]),
+        jnp.asarray(db["question_ids"]), jnp.asarray(db["question_mask"]),
+        key, method=model.init_pipeline,
+    )
+    params = nn.meta.unbox(variables)["params"]
+    mgr = CheckpointManager(CheckpointConfig(directory=cfg.ckpt_path))
+    restored = mgr.restore(template={"params": params})
+    state = TrainState(restored["params"], None, jnp.zeros((), jnp.int32))
+
+    if cfg.model.get("recipe", "tg") == "tg":
+        metrics = evaluate_tg(model, recipe, state, val_loader, tok)
+    else:
+        from videotgb_tpu.training import metrics as M
+
+        loss_state = M.mean_init()
+        for batch in val_loader:
+            loss, _ = recipe.loss_fn(model, state.params,
+                                     device_batch(batch), jax.random.key(0))
+            loss_state = M.mean_update(loss_state, loss)
+        metrics = {"test/loss": float(M.mean_compute(loss_state))}
+    log.info("test metrics: %s", metrics)
+    return metrics
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = compose(CONFIG_DIR, "eval", argv)
+    print_config_tree(cfg)
+    evaluate(cfg)
+
+
+if __name__ == "__main__":
+    main()
