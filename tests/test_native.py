@@ -1,0 +1,58 @@
+"""Native host-ops tests: build via g++, parity vs the numpy/cv2 reference
+implementations, and a speed sanity check."""
+
+import numpy as np
+import pytest
+
+from videotgb_tpu.data import native
+from videotgb_tpu.data.constants import CLIP_MEAN, CLIP_STD
+from videotgb_tpu.data.flow_viz import flow_to_image, normalize_flow
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_native():
+    if not native.available():
+        pytest.skip("native library failed to build")
+
+
+def test_resize_normalize_matches_cv2(rng):
+    import cv2
+
+    frames = rng.integers(0, 255, (3, 120, 160, 3)).astype(np.uint8)
+    got = native.resize_normalize(frames, 64, CLIP_MEAN, CLIP_STD)
+    for t in range(3):
+        ref = cv2.resize(frames[t], (64, 64), interpolation=cv2.INTER_LINEAR)
+        ref = (ref.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+        np.testing.assert_allclose(got[t], ref, atol=2e-2)
+
+
+def test_normalize_flow_matches_numpy(rng):
+    flow = rng.standard_normal((4, 32, 32, 2)).astype(np.float32) * 7
+    got = native.normalize_flow(flow)
+    ref = normalize_flow(flow)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_flow_to_rgb_matches_numpy(rng):
+    flow = rng.standard_normal((2, 16, 16, 2)).astype(np.float32)
+    got = native.flow_to_rgb(flow)
+    ref = flow_to_image(flow)
+    # colorwheel float rounding: allow off-by-one in uint8
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_native_faster_than_numpy_path(rng):
+    import time
+
+    frames = rng.integers(0, 255, (64, 480, 640, 3)).astype(np.uint8)
+    t0 = time.perf_counter()
+    native.resize_normalize(frames, 224, CLIP_MEAN, CLIP_STD)
+    native_s = time.perf_counter() - t0
+
+    from videotgb_tpu.data.transforms import clip_transform
+
+    t0 = time.perf_counter()
+    clip_transform(frames, 224)
+    numpy_s = time.perf_counter() - t0
+    # multithreaded native should beat single-threaded cv2+numpy chain
+    assert native_s < numpy_s * 1.5, (native_s, numpy_s)

@@ -55,9 +55,20 @@ def normalize_video(
     return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
-def clip_transform(frames: np.ndarray, size: int = 224) -> np.ndarray:
+def clip_transform(frames: np.ndarray, size: int = 224,
+                   use_native: bool = True) -> np.ndarray:
     """The standard eval-time pipeline: resize to (size, size) + normalize
-    (the reference's ResizeVideo((224,224)) + ToTensor + Normalize chain)."""
+    (the reference's ResizeVideo((224,224)) + ToTensor + Normalize chain).
+    Delegates to the multithreaded C++ kernel (data.native) when built and
+    the input is uint8."""
+    if use_native and frames.dtype == np.uint8:
+        try:
+            from videotgb_tpu.data import native
+
+            if native.available():
+                return native.resize_normalize(frames, size, CLIP_MEAN, CLIP_STD)
+        except Exception:
+            pass
     frames = resize_video(frames, (size, size))
     return normalize_video(frames)
 
