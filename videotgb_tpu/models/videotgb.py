@@ -242,23 +242,93 @@ class VideoTGB(nn.Module):
         """Touches every submodule so ``model.init(..., method=init_pipeline)``
         creates the complete parameter tree (encoder AND decoder AND RAFT) —
         flax creates params lazily per called module."""
-        enc_hidden, enc_mask, cand = self.prepare_t5_inference(
-            frames, flow, flow_mask, video_length,
-            sampler_question_ids, sampler_question_mask,
-            question_ids, question_mask, key,
-        )
-        b = enc_hidden.shape[0]
-        caches = self.init_t5_caches(b, 4, enc_hidden.shape[1])
-        start = jnp.zeros((b, 1), jnp.int32)
-        valid = jnp.ones((b, 4), jnp.float32)
-        logits, _ = self.t5_decode_step(
-            start, enc_hidden, enc_mask, caches, jnp.int32(0), valid, True
-        )
+        if self.config.backbone == "blip2":
+            enc_hidden, enc_mask, cand = self.prepare_t5_inference(
+                frames, flow, flow_mask, video_length,
+                sampler_question_ids, sampler_question_mask,
+                question_ids, question_mask, key,
+            )
+            b = enc_hidden.shape[0]
+            caches = self.init_t5_caches(b, 4, enc_hidden.shape[1])
+            start = jnp.zeros((b, 1), jnp.int32)
+            valid = jnp.ones((b, 4), jnp.float32)
+            logits, _ = self.t5_decode_step(
+                start, enc_hidden, enc_mask, caches, jnp.int32(0), valid, True
+            )
+            # fusion mode touches TGB layers [fusion:N) only; one multi_modal
+            # pass creates the early layers too so any mode can apply later
+            _ = self.span_logits(
+                flow[:1], flow_mask[:1], sampler_question_ids[:1],
+                sampler_question_mask[:1], "multi_modal",
+            )
+        else:
+            embeds, mask, cand = self.prepare_llama_inference(
+                frames, flow, flow_mask, video_length,
+                sampler_question_ids, sampler_question_mask,
+                question_ids, question_mask, key,
+                qformer_input_ids=question_ids,
+                qformer_attention_mask=question_mask,
+            )
+            b, s = embeds.shape[:2]
+            caches = self.init_llama_caches(b, s + 2)
+            valid = jnp.concatenate(
+                [mask.astype(jnp.float32), jnp.zeros((b, 2))], axis=1)
+            logits, _ = self.llama_step(
+                inputs_embeds=embeds, caches=caches, cache_index=jnp.int32(0),
+                cache_positions_valid=valid,
+            )
         # RAFT params (online-flow path); 64px so the 4-level corr pyramid
         # stays non-degenerate (stride-8 fmap 8x8 -> 1x1 at level 3)
         tiny = jnp.zeros((1, 2, 64, 64, 3))
         _ = self.compute_flow(tiny)
         return logits
+
+    def prepare_llama_inference(
+        self,
+        frames: jax.Array,
+        flow: jax.Array,
+        flow_mask: jax.Array,
+        video_length: jax.Array,
+        sampler_question_ids: jax.Array,
+        sampler_question_mask: jax.Array,
+        prompt_ids: jax.Array,
+        prompt_mask: jax.Array,
+        key: jax.Array,
+        qformer_input_ids: jax.Array | None = None,
+        qformer_attention_mask: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Vicuna inference prefix (eval/utils/model.py:19-237): TGB in
+        multi_modal mode -> exclusive-end selection -> instruction-aware
+        Q-Former mean-pooled to 32 tokens -> [visual | prompt] embeddings.
+        Returns (embeds (B, 32+Tq, d), mask, cand_index)."""
+        _, start_logits, end_logits = self.span_logits(
+            flow, flow_mask, sampler_question_ids, sampler_question_mask,
+            "multi_modal",
+        )
+        cand = self.select_frames(start_logits, end_logits, video_length, key,
+                                  inclusive_end=False)
+        visual = self.encode_selected(
+            frames, cand, mean_pool=True,
+            qformer_input_ids=qformer_input_ids,
+            qformer_attention_mask=qformer_attention_mask,
+        )
+        text_emb = self.model.language_model.embed(prompt_ids)
+        embeds = jnp.concatenate([visual.astype(text_emb.dtype), text_emb], 1)
+        vis_mask = jnp.ones(visual.shape[:2], prompt_mask.dtype)
+        mask = jnp.concatenate([vis_mask, prompt_mask], axis=1)
+        return embeds, mask, cand
+
+    def llama_step(self, tokens=None, inputs_embeds=None, positions=None,
+                   caches=None, cache_index=None, cache_positions_valid=None):
+        logits, caches = self.model.language_model(
+            input_ids=tokens, inputs_embeds=inputs_embeds, positions=positions,
+            caches=caches, cache_index=cache_index,
+            cache_positions_valid=cache_positions_valid,
+        )
+        return logits, caches
+
+    def init_llama_caches(self, batch: int, max_len: int):
+        return self.model.language_model.init_caches(batch, max_len)
 
     def t5_decode_step(self, tokens, enc_hidden, enc_mask, caches, index,
                        cache_positions_valid, cross_prefill: bool = False):
@@ -341,4 +411,77 @@ def generate_blip2(
         out = beam_search(step_fn, caches, start, decode_config)
     else:
         out = decode(step_fn, caches, start, decode_config, key=decode_key)
+    return out, cand
+
+
+def generate_instructblip(
+    model: VideoTGB,
+    params: Any,
+    batch: dict[str, jax.Array],
+    decode_config: DecodeConfig,
+    key: jax.Array,
+    stop_sequences: tuple[tuple[int, ...], ...] = (),
+) -> tuple[jax.Array, jax.Array]:
+    """Batched InstructBLIP-Vicuna QA generation (the decoder-only BASELINE
+    path, eval/utils/model.py:47-237). Right-padded prompts are handled with
+    per-sample cumulative positions; generated tokens append after the padded
+    prompt buffer with per-sample RoPE positions continuing from each true
+    length. Returns (token_ids (B, max_new), cand_index)."""
+    sel_key, decode_key = jax.random.split(key)
+    embeds, mask, cand = model.apply(
+        params, batch["frames"], batch["flow"], batch["flow_mask"],
+        batch["video_length"], batch["sampler_question_ids"],
+        batch["sampler_question_mask"], batch["question_ids"],
+        batch["question_mask"], sel_key,
+        qformer_input_ids=batch.get("qformer_input_ids"),
+        qformer_attention_mask=batch.get("qformer_attention_mask"),
+        method=model.prepare_llama_inference,
+    )
+    b, s = embeds.shape[:2]
+    max_new = decode_config.max_new_tokens
+    total = s + max_new
+
+    mask_f = mask.astype(jnp.float32)
+    lengths = jnp.sum(mask_f, axis=1).astype(jnp.int32)  # (B,)
+    prompt_pos = jnp.clip(jnp.cumsum(mask_f, axis=1).astype(jnp.int32) - 1, 0)
+
+    caches = model.apply(params, b, total, method=model.init_llama_caches)
+    valid_prefill = jnp.concatenate(
+        [mask_f, jnp.zeros((b, max_new), jnp.float32)], axis=1)
+    logits_p, caches = model.apply(
+        params, inputs_embeds=embeds, positions=prompt_pos, caches=caches,
+        cache_index=jnp.int32(0), cache_positions_valid=valid_prefill,
+        method=model.llama_step,
+    )
+    first_logits = logits_p[jnp.arange(b), lengths - 1]  # (B, V)
+
+    def loop_step(tokens, caches, t):
+        # token sampled at step t-1 is written at buffer slot s + (t-1)
+        buffer_index = s + t - 1
+        positions = (lengths + t - 1)[:, None]
+        decode_valid = (jnp.arange(max_new)[None, :] <= (t - 1)).astype(jnp.float32)
+        valid = jnp.concatenate(
+            [mask_f, jnp.broadcast_to(decode_valid, (b, max_new))], axis=1)
+        logits, new_caches = model.apply(
+            params, tokens=tokens, positions=positions, caches=caches,
+            cache_index=buffer_index, cache_positions_valid=valid,
+            method=model.llama_step,
+        )
+        return logits[:, -1], new_caches
+
+    def step_fn(tokens, caches, t):
+        return jax.lax.cond(
+            t == 0,
+            lambda: (first_logits.astype(jnp.float32), caches),
+            lambda: loop_step(tokens, caches, t),
+        )
+
+    start = jnp.zeros((b,), jnp.int32)  # placeholder; replaced by cond at t=0
+    if decode_config.num_beams > 1:
+        raise NotImplementedError(
+            "beam search for the decoder-only path lands with the beamed "
+            "prompt-cache reorder; the reference's Vicuna eval uses sampling "
+            "(eval/utils/model.py:81-84)")
+    out = decode(step_fn, caches, start, decode_config, key=decode_key,
+                 stop_sequences=stop_sequences)
     return out, cand
