@@ -171,6 +171,11 @@ def train(cfg: Config) -> dict[str, float]:
         return recipe.loss_fn(model, params, batch, key)
 
     trainer = Trainer(tcfg, loss_fn, filter_fn=recipe.filter_fn)
+    out_dir = cfg.get("paths", Config()).get("output_dir", "outputs")
+    from videotgb_tpu.utils.writers import build_writers
+
+    trainer.writers = build_writers(cfg.get("loggers", ["csv"]), out_dir)
+    trainer.writers.log_hyperparams({"config": dict(cfg)})
 
     # init params from one batch
     first = next(iter(train_loader))

@@ -77,6 +77,7 @@ class Trainer:
         """loss_fn(params, batch, key) -> (loss, aux dict of scalars/arrays)."""
         self.config = config
         self.loss_fn = loss_fn
+        self.writers = None  # optional utils.writers.MultiWriter
         self.mesh = mesh or create_mesh(config.mesh)
         self.rng = RngStream(config.seed)
         schedule = cosine_warmup_schedule(
@@ -193,9 +194,13 @@ class Trainer:
                 host = {k: float(v) for k, v in metrics.items()}
                 rate = step / (time.perf_counter() - t0)
                 log.info("step %d %s (%.2f it/s)", step, host, rate)
+                if self.writers is not None:
+                    self.writers.log_metrics(host, step)
             if eval_fn is not None and step % cfg.eval_every == 0:
                 eval_metrics = eval_fn(state)
                 log.info("eval @%d: %s", step, eval_metrics)
+                if self.writers is not None:
+                    self.writers.log_metrics(eval_metrics, step)
                 if self._should_stop(eval_metrics):
                     log.info("early stopping at step %d", step)
                     break
