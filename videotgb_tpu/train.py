@@ -89,6 +89,29 @@ def build_data(cfg: Config, mcfg):
             dcfg.text_dir, dcfg.video_dir, dcfg.of_dir, split="train", **common)
         val_ds = VideoInstructDataset(
             dcfg.text_dir, dcfg.video_dir, dcfg.of_dir, split="val", **common)
+    elif kind in ("iv", "ivt"):
+        from videotgb_tpu.data.datasets import IVInstructDataset, collate_iv
+
+        mk = lambda split: IVInstructDataset(
+            dcfg.text_path, dcfg.image_dir, dcfg.video_dir, split=split,
+            nframe=mcfg.nframe, image_size=common["image_size"],
+            include_text_only=(kind == "ivt"),
+            text_only_path=dcfg.get("text_only_path"),
+        )
+        train_ds, val_ds = mk("train"), mk("val")
+
+        def collate(samples):
+            return collate_iv(samples, tok, nframe=mcfg.nframe,
+                              image_size=common["image_size"],
+                              max_txt_len=dcfg.get("max_txt_len", 128),
+                              answer_len=dcfg.get("answer_len", 32))
+
+        loader_kw = dict(batch_size=dcfg.get("batch_size", 2),
+                         collate_fn=collate,
+                         num_workers=dcfg.get("num_workers", 8),
+                         seed=cfg.get("seed", 0))
+        return (PrefetchLoader(train_ds, shuffle=True, **loader_kw),
+                PrefetchLoader(val_ds, shuffle=False, **loader_kw), tok)
     else:
         raise ValueError(f"unknown data.name {kind}")
 
