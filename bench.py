@@ -56,6 +56,31 @@ def decode_clip(path: str, num_frames: int, flow_frames: int, image: int,
             flow_raw.astype(np.float32))
 
 
+def _bf16_params(cfg):
+    """Store params in bf16 for inference benching: flagship fp32 weights
+    (~16.5 GB) exceed v5e HBM; bf16 halves residency with matching compute
+    dtype (the reference serves bf16 too, configs/experiment/*:24)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    def rep(sub):
+        return dataclasses.replace(sub, param_dtype=jnp.bfloat16)
+
+    blip2 = cfg.blip2
+    if blip2 is not None:
+        blip2 = dataclasses.replace(
+            blip2, vit=rep(blip2.vit), qformer=rep(blip2.qformer),
+            t5=rep(blip2.t5))
+    iblip = cfg.instructblip
+    if iblip is not None:
+        iblip = dataclasses.replace(
+            iblip, vit=rep(iblip.vit), qformer=rep(iblip.qformer),
+            llm=rep(iblip.llm))
+    return dataclasses.replace(
+        cfg, blip2=blip2, instructblip=iblip, tgb=rep(cfg.tgb))
+
+
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "flagship")
     batch = int(os.environ.get("BENCH_BATCH", "8"))
@@ -84,6 +109,7 @@ def main() -> None:
         cfg = VideoTGBConfig.small()
     else:
         raise SystemExit(f"unknown BENCH_PRESET {preset}")
+    cfg = _bf16_params(cfg)  # inference: weights resident in bf16 (HBM fit)
     model = VideoTGB(cfg)
     image = cfg.blip2.vit.image_size
     flow_size = cfg.tgb.flow_size

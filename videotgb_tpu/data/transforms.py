@@ -74,9 +74,43 @@ def clip_transform(frames: np.ndarray, size: int = 224,
 
 
 def horizontal_flip_video(frames: np.ndarray, p: float, rng: np.random.Generator) -> np.ndarray:
+    """RandomHorizontalFlipVideo (reference: src/gadgets/transforms.py)."""
     if rng.random() < p:
         return frames[:, :, ::-1]
     return frames
+
+
+def random_crop_video(frames: np.ndarray, size: int,
+                      rng: np.random.Generator) -> np.ndarray:
+    """RandomCropVideo: same crop window for every frame of the clip."""
+    t, h, w, c = frames.shape
+    top = int(rng.integers(0, max(h - size, 0) + 1))
+    left = int(rng.integers(0, max(w - size, 0) + 1))
+    return frames[:, top : top + size, left : left + size]
+
+
+def random_resized_crop_video(
+    frames: np.ndarray, size: int, rng: np.random.Generator,
+    scale: tuple[float, float] = (0.08, 1.0),
+    ratio: tuple[float, float] = (3 / 4, 4 / 3),
+    attempts: int = 10,
+) -> np.ndarray:
+    """RandomResizedCropVideo (torchvision semantics: sample area/aspect,
+    crop, resize to (size, size)); one window shared across the clip."""
+    t, h, w, c = frames.shape
+    area = h * w
+    for _ in range(attempts):
+        target_area = area * rng.uniform(*scale)
+        log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+        aspect = np.exp(rng.uniform(*log_ratio))
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = int(rng.integers(0, h - ch + 1))
+            left = int(rng.integers(0, w - cw + 1))
+            crop = frames[:, top : top + ch, left : left + cw]
+            return resize_video(crop, (size, size))
+    return resize_video(center_crop_video(frames, min(h, w)), (size, size))
 
 
 def denormalize(

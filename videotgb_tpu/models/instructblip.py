@@ -92,9 +92,11 @@ class InstructBlipModel(nn.Module):
         labels: jax.Array,  # (B, T) -100 on prompt/pad, answer ids elsewhere
         qformer_input_ids: jax.Array | None = None,
         qformer_attention_mask: jax.Array | None = None,
+        mean_pool: bool = False,
     ) -> tuple[jax.Array, jax.Array]:
         """Training loss: visual prefix + packed text, causal LM CE on the
-        answer tokens (reference LSTP_module.py:197-340)."""
+        answer tokens (reference LSTP_module.py:197-340). mean_pool gives the
+        stage-3 32-token prefix (LSTP_Vicuna_IV_module.py:213-232)."""
         b, f = pixel_values.shape[:2]
         if qformer_input_ids is not None:
             q_ids = jnp.repeat(qformer_input_ids, f, axis=0)
@@ -103,9 +105,11 @@ class InstructBlipModel(nn.Module):
         else:
             q_ids = q_mask = None
         visual = self.encode_frames(
-            pixel_values.reshape(b * f, *pixel_values.shape[2:]), q_ids, q_mask
+            pixel_values.reshape(b * f, *pixel_values.shape[2:]), q_ids, q_mask,
+            mean_pool_groups=b if mean_pool else None,
         )
-        visual = visual.reshape(b, f * visual.shape[1], -1)
+        if not mean_pool:
+            visual = visual.reshape(b, f * visual.shape[1], -1)
 
         text_embeds = self.language_model.embed(instruction_ids)
         embeds = jnp.concatenate([visual.astype(text_embeds.dtype), text_embeds], 1)

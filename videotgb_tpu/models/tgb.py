@@ -60,6 +60,10 @@ class TGBConfig:
     flow_size: int = 224
     hidden_dropout: float = 0.1
     layer_norm_eps: float = 1e-12
+    # Albert variant (reference: src/models/components/xropealbert.py —
+    # RopeAlbertModel, the alternate parameter-shared TGB): one set of layer
+    # weights reused across depth (per cross-attention group)
+    share_parameters: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -221,11 +225,24 @@ class TGBModel(nn.Module):
 
         # NOTE: flax creates params lazily per called layer, so initialize
         # with mode="multi_modal" (all layers) and apply with any mode.
-        for i in layer_range:
-            x = TGBLayer(cfg, has_cross_attention=(i >= cfg.fusion_layer),
-                         name=f"layer_{i}")(
-                x, self_bias, text, text_bias, sincos_self, sincos_cross
-            )
+        if cfg.share_parameters:
+            # Albert sharing: one weight set per cross-attention group (the
+            # self-only stack and the fusion stack each share one layer)
+            shared = {
+                False: TGBLayer(cfg, has_cross_attention=False,
+                                name="shared_layer"),
+                True: TGBLayer(cfg, has_cross_attention=True,
+                               name="shared_fusion_layer"),
+            }
+            for i in layer_range:
+                x = shared[i >= cfg.fusion_layer](
+                    x, self_bias, text, text_bias, sincos_self, sincos_cross)
+        else:
+            for i in layer_range:
+                x = TGBLayer(cfg, has_cross_attention=(i >= cfg.fusion_layer),
+                             name=f"layer_{i}")(
+                    x, self_bias, text, text_bias, sincos_self, sincos_cross
+                )
 
         logits = dense(2, ("embed", None), name="mrc_head", **kw)(x[:, 1:-1])
         return x, logits.astype(jnp.float32)

@@ -94,9 +94,11 @@ class TGRecipe:
 class SFRecipe:
     """Self-refinement: scores (B, F) from the host-side pseudo-label pass
     feed the jitted joint loss. Freezes the vision tower only
-    (LSTP_SF_blip2_module.py:663-668)."""
+    (LSTP_SF_blip2_module.py:663-668). ``online_flow=True`` gives the
+    LSTP_SF_small recipe (RAFT in the step)."""
 
     mode: str = "fusion"
+    online_flow: bool = False
 
     @property
     def filter_fn(self) -> Callable:
@@ -110,6 +112,17 @@ class SFRecipe:
         drop_key, sel_key = jax.random.split(key)
         nframe = model.config.nframe
         num_frames = model.config.num_frames
+
+        if self.online_flow:
+            # LSTP_SF_small variant: RAFT inside the step instead of
+            # precomputed .npy flow (LSTP_SF_small_module.py:130-139);
+            # batch["flow_frames"] (B, L+1, H, W, 3) raw RGB in [0, 255]
+            flow = model.apply(variables, batch["flow_frames"],
+                               method=model.compute_flow)[:, 1:]
+            rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
+            rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
+            batch = dict(batch)
+            batch["flow"] = jax.lax.stop_gradient(flow / (rad_max + 1e-5))
 
         # 1) pseudo span from the (host-provided) per-frame scores
         starts_f, ends_f = largest_rectangle_span(batch["scores"])  # 32-frame dom.
@@ -139,10 +152,7 @@ class SFRecipe:
         sel = jnp.take_along_axis(
             batch["frames"], cand[:, :, None, None, None], axis=1
         )
-        lm_loss, logits = model.apply(
-            variables, sel, batch["question_ids"], batch["question_mask"],
-            batch["answer_ids"], method=_backbone_loss_method,
-        )
+        lm_loss, logits = _backbone_forward(model, variables, sel, batch)
         loss = lm_loss + mrc_loss
         return loss, {
             "loss": loss, "lm_loss": lm_loss, "mrc_loss": mrc_loss,
@@ -151,9 +161,72 @@ class SFRecipe:
         }
 
 
-def _backbone_loss_method(mdl: VideoTGB, pixel_values, question_ids,
-                          question_mask, answer_ids):
-    return mdl.model(pixel_values, question_ids, question_mask, answer_ids)
+# ----------------------------------------------------------------- E2E stage
+@dataclasses.dataclass(frozen=True)
+class E2ERecipe:
+    """End-to-end training with TGB inference-style sampling and no
+    pseudo-label loss — the LSTPModule family (reference:
+    src/models/LSTP_module.py:205-213 multi_modal TGB call,
+    LSTP_blip2_module.py): frames are selected by the current TGB (Gumbel,
+    stop-gradient) and only the LM loss backpropagates; RAFT / ViT / LLM are
+    frozen, TGB + Q-Former (+projection) train (LSTP_module.py:669-675)."""
+
+    mode: str = "multi_modal"
+
+    @property
+    def filter_fn(self) -> Callable:
+        return path_freeze_filter(
+            freeze_prefixes=("of_extractor", "model/vision_model",
+                             "model/language_model"))
+
+    def loss_fn(
+        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array
+    ) -> tuple[jax.Array, dict]:
+        variables = params if "params" in params else {"params": params}
+        drop_key, sel_key = jax.random.split(key)
+        _, start_logits, end_logits = model.apply(
+            variables, batch["flow"], batch["flow_mask"],
+            batch["sampler_question_ids"], batch["sampler_question_mask"],
+            mode=self.mode, deterministic=False, rngs={"dropout": drop_key},
+            method=model.span_logits,
+        )
+        cand = model.apply(
+            variables, jax.lax.stop_gradient(start_logits),
+            jax.lax.stop_gradient(end_logits),
+            batch["video_length"], sel_key, method=model.select_frames,
+        )
+        sel = jnp.take_along_axis(
+            batch["frames"], cand[:, :, None, None, None], axis=1)
+        lm_loss, _ = _backbone_forward(model, variables, sel, batch)
+        return lm_loss, {"loss": lm_loss, "cand": cand,
+                         "start_logits": start_logits,
+                         "end_logits": end_logits}
+
+
+def _backbone_forward(model: VideoTGB, variables, frames, batch,
+                      mean_pool: bool = False):
+    """Dispatch the LM loss to the right backbone: seq2seq (BLIP2-T5) or
+    packed causal LM (InstructBLIP-Vicuna, LSTP_Vicuna_* modules)."""
+    if model.config.backbone == "blip2":
+        return model.apply(
+            variables, frames, batch["question_ids"], batch["question_mask"],
+            batch["answer_ids"], mean_pool, method=_blip2_loss_method)
+    return model.apply(
+        variables, frames, batch["instruction_ids"], batch["instruction_mask"],
+        batch["labels"],
+        batch.get("qformer_input_ids"), batch.get("qformer_attention_mask"),
+        mean_pool, method=_instructblip_loss_method)
+
+
+def _blip2_loss_method(mdl: VideoTGB, frames, q_ids, q_mask, a_ids, mean_pool):
+    return mdl.model(frames, q_ids, q_mask, a_ids, mean_pool=mean_pool)
+
+
+def _instructblip_loss_method(mdl: VideoTGB, frames, inst_ids, inst_mask,
+                              labels, qf_ids, qf_mask, mean_pool):
+    return mdl.model(frames, inst_ids, inst_mask, labels,
+                     qformer_input_ids=qf_ids, qformer_attention_mask=qf_mask,
+                     mean_pool=mean_pool)
 
 
 # ------------------------------------------------------------------ IV stage
@@ -173,19 +246,9 @@ class IVRecipe:
         self, model: VideoTGB, params: Any, batch: dict, key: jax.Array
     ) -> tuple[jax.Array, dict]:
         variables = params if "params" in params else {"params": params}
-        lm_loss, logits = model.apply(
-            variables, batch["frames"], batch["question_ids"],
-            batch["question_mask"], batch["answer_ids"],
-            True,  # mean_pool
-            method=_backbone_loss_mean_pool_method,
-        )
+        lm_loss, logits = _backbone_forward(
+            model, variables, batch["frames"], batch, mean_pool=True)
         return lm_loss, {"loss": lm_loss}
-
-
-def _backbone_loss_mean_pool_method(mdl: VideoTGB, pixel_values, question_ids,
-                                    question_mask, answer_ids, mean_pool):
-    return mdl.model(pixel_values, question_ids, question_mask, answer_ids,
-                     mean_pool=mean_pool)
 
 
 # ----------------------------------------------------------------- IVT stage
@@ -205,7 +268,8 @@ class IVTRecipe:
     loss_fn = IVRecipe.loss_fn
 
 
-RECIPES = {"tg": TGRecipe, "sf": SFRecipe, "iv": IVRecipe, "ivt": IVTRecipe}
+RECIPES = {"tg": TGRecipe, "sf": SFRecipe, "e2e": E2ERecipe,
+           "iv": IVRecipe, "ivt": IVTRecipe}
 
 
 # -------------------------------------------- SF pseudo-label generation pass
