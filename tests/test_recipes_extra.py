@@ -127,3 +127,20 @@ def test_albert_tgb_shares_parameters():
     n_shared = sum(p.size for p in jax.tree.leaves(params))
     n_dense = sum(p.size for p in jax.tree.leaves(dense_params))
     assert n_shared < n_dense
+
+
+def test_ivt_text_only_rows_masked():
+    """A width-0 row's loss must be independent of its (zeroed) frames."""
+    cfg = VideoTGBConfig.tiny()
+    model = VideoTGB(cfg)
+    batch = _batch_for(cfg)
+    batch["frames"] = batch["frames"][:, : cfg.nframe]
+    batch["widths"] = jnp.array([cfg.nframe, 0])
+    params = _init(model, batch, jax.random.key(0))
+    l1, _ = IVRecipe().loss_fn(model, params, batch, jax.random.key(1))
+    b2 = dict(batch)
+    frames = np.asarray(batch["frames"]).copy()
+    frames[1] = 99.0  # garbage into the text-only row's frame slab
+    b2["frames"] = jnp.asarray(frames)
+    l2, _ = IVRecipe().loss_fn(model, params, b2, jax.random.key(1))
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)

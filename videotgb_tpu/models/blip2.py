@@ -94,11 +94,18 @@ class Blip2Model(nn.Module):
         visual_tokens: jax.Array,  # (B, Tv, d_model) (reshape frames outside)
         question_ids: jax.Array,  # (B, Tq)
         question_mask: jax.Array,  # (B, Tq)
+        visual_valid: jax.Array | None = None,  # (B,) 0 = text-only row
     ) -> tuple[jax.Array, jax.Array]:
+        """``visual_valid`` collapses the reference's python text-only branch
+        (LSTP_Vicuna_IVT_module.py:197/342) into attention masking: width-0
+        rows keep the static shape but the LLM never attends their visual
+        prefix (SURVEY.md section 7.3 item 3)."""
         text_embeds = self.language_model.embed(question_ids)
         embeds = jnp.concatenate([visual_tokens.astype(text_embeds.dtype),
                                   text_embeds], axis=1)
         vis_mask = jnp.ones(visual_tokens.shape[:2], question_mask.dtype)
+        if visual_valid is not None:
+            vis_mask = vis_mask * visual_valid[:, None].astype(vis_mask.dtype)
         mask = jnp.concatenate([vis_mask, question_mask], axis=1)
         return embeds, mask
 
@@ -110,6 +117,7 @@ class Blip2Model(nn.Module):
         answer_ids: jax.Array,  # (B, Ta) labels (pad = pad_token_id)
         answer_mask: jax.Array | None = None,
         mean_pool: bool = False,
+        visual_valid: jax.Array | None = None,  # (B,) 0 = text-only row
     ) -> tuple[jax.Array, jax.Array]:
         """Training loss pass -> (scalar CE loss, logits).
 
@@ -125,7 +133,8 @@ class Blip2Model(nn.Module):
         )
         if not mean_pool:
             visual = visual.reshape(b, f * visual.shape[1], -1)
-        embeds, mask = self.encoder_inputs(visual, question_ids, question_mask)
+        embeds, mask = self.encoder_inputs(visual, question_ids, question_mask,
+                                           visual_valid)
 
         # teacher forcing: shift answers right with decoder_start
         start = jnp.full((b, 1), cfg.t5.decoder_start_token_id, answer_ids.dtype)

@@ -93,6 +93,7 @@ class InstructBlipModel(nn.Module):
         qformer_input_ids: jax.Array | None = None,
         qformer_attention_mask: jax.Array | None = None,
         mean_pool: bool = False,
+        visual_valid: jax.Array | None = None,  # (B,) 0 = text-only row
     ) -> tuple[jax.Array, jax.Array]:
         """Training loss: visual prefix + packed text, causal LM CE on the
         answer tokens (reference LSTP_module.py:197-340). mean_pool gives the
@@ -114,6 +115,10 @@ class InstructBlipModel(nn.Module):
         text_embeds = self.language_model.embed(instruction_ids)
         embeds = jnp.concatenate([visual.astype(text_embeds.dtype), text_embeds], 1)
         vis_mask = jnp.ones(visual.shape[:2], instruction_mask.dtype)
+        if visual_valid is not None:
+            # text-only rows (width 0) keep static shape, attention gated off
+            # (LSTP_Vicuna_IVT_module.py:342-379 branch collapsed to a mask)
+            vis_mask = vis_mask * visual_valid[:, None].astype(vis_mask.dtype)
         mask = jnp.concatenate([vis_mask, instruction_mask], axis=1)
 
         logits, _ = self.language_model(inputs_embeds=embeds, attention_mask=mask)

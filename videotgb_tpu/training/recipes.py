@@ -206,27 +206,35 @@ class E2ERecipe:
 def _backbone_forward(model: VideoTGB, variables, frames, batch,
                       mean_pool: bool = False):
     """Dispatch the LM loss to the right backbone: seq2seq (BLIP2-T5) or
-    packed causal LM (InstructBLIP-Vicuna, LSTP_Vicuna_* modules)."""
+    packed causal LM (InstructBLIP-Vicuna, LSTP_Vicuna_* modules). Mixed
+    IVT batches pass ``widths`` (0 = text-only row) which gates the visual
+    prefix via attention masking."""
+    visual_valid = None
+    if "widths" in batch:
+        visual_valid = (batch["widths"] > 0).astype(jnp.float32)
     if model.config.backbone == "blip2":
         return model.apply(
             variables, frames, batch["question_ids"], batch["question_mask"],
-            batch["answer_ids"], mean_pool, method=_blip2_loss_method)
+            batch["answer_ids"], mean_pool, visual_valid,
+            method=_blip2_loss_method)
     return model.apply(
         variables, frames, batch["instruction_ids"], batch["instruction_mask"],
         batch["labels"],
         batch.get("qformer_input_ids"), batch.get("qformer_attention_mask"),
-        mean_pool, method=_instructblip_loss_method)
+        mean_pool, visual_valid, method=_instructblip_loss_method)
 
 
-def _blip2_loss_method(mdl: VideoTGB, frames, q_ids, q_mask, a_ids, mean_pool):
-    return mdl.model(frames, q_ids, q_mask, a_ids, mean_pool=mean_pool)
+def _blip2_loss_method(mdl: VideoTGB, frames, q_ids, q_mask, a_ids, mean_pool,
+                       visual_valid):
+    return mdl.model(frames, q_ids, q_mask, a_ids, mean_pool=mean_pool,
+                     visual_valid=visual_valid)
 
 
 def _instructblip_loss_method(mdl: VideoTGB, frames, inst_ids, inst_mask,
-                              labels, qf_ids, qf_mask, mean_pool):
+                              labels, qf_ids, qf_mask, mean_pool, visual_valid):
     return mdl.model(frames, inst_ids, inst_mask, labels,
                      qformer_input_ids=qf_ids, qformer_attention_mask=qf_mask,
-                     mean_pool=mean_pool)
+                     mean_pool=mean_pool, visual_valid=visual_valid)
 
 
 # ------------------------------------------------------------------ IV stage
