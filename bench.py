@@ -120,10 +120,13 @@ def main() -> None:
     if not os.path.exists(video_path):
         make_synthetic_video(video_path, size=image)
 
-    t_dec0 = time.perf_counter()
-    frames_np, flow_np = decode_clip(video_path, num_frames, flow_frames + 1,
-                                     image, flow_size)
-    decode_s = time.perf_counter() - t_dec0
+    dec_times = []
+    for _ in range(3):
+        t_dec0 = time.perf_counter()
+        frames_np, flow_np = decode_clip(video_path, num_frames,
+                                         flow_frames + 1, image, flow_size)
+        dec_times.append(time.perf_counter() - t_dec0)
+    decode_s = statistics.median(dec_times)
 
     frames = jnp.asarray(np.broadcast_to(
         frames_np[None], (batch, *frames_np.shape)).copy())

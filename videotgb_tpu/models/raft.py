@@ -49,11 +49,12 @@ class RAFTConfig:
         return cls(iters=2)
 
 
-def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
+          param_dtype=jnp.float32):
     pad = [(k // 2, k // 2) for k in (kernel if isinstance(kernel, tuple) else (kernel, kernel))]
     k = kernel if isinstance(kernel, tuple) else (kernel, kernel)
     return nn.Conv(features, kernel_size=k, strides=(stride, stride),
-                   padding=pad, dtype=dtype, name=name)
+                   padding=pad, dtype=dtype, param_dtype=param_dtype, name=name)
 
 
 class InstanceNorm(nn.Module):
@@ -101,33 +102,37 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         y = nn.relu(_Norm(self.norm_fn, self.planes, name="norm1")(
-            _conv(self.planes, 3, self.stride, name="conv1")(x)))
+            _conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype)(x)))
         y = nn.relu(_Norm(self.norm_fn, self.planes, name="norm2")(
-            _conv(self.planes, 3, 1, name="conv2")(y)))
+            _conv(self.planes, 3, 1, name="conv2", dtype=self.dtype)(y)))
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = _Norm(self.norm_fn, self.planes, name="norm3")(
                 nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
-                        name="downsample")(x))
+                        dtype=self.dtype, name="downsample")(x))
         return nn.relu(x + y)
 
 
 class BasicEncoder(nn.Module):
     output_dim: int
     norm_fn: str
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = _conv(64, 7, 2, name="conv1")(x)
+        x = _conv(64, 7, 2, name="conv1", dtype=self.dtype)(x.astype(self.dtype))
         x = _Norm(self.norm_fn, 64, name="norm1")(x)
         x = nn.relu(x)
         for i, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
-            x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i+1}_0")(x)
-            x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i+1}_1")(x)
-        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+            x = ResidualBlock(dim, self.norm_fn, stride, dtype=self.dtype,
+                              name=f"layer{i+1}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, dtype=self.dtype,
+                              name=f"layer{i+1}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2")(x)
 
 
 class BasicMotionEncoder(nn.Module):
@@ -135,24 +140,30 @@ class BasicMotionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, flow: jax.Array, corr: jax.Array) -> jax.Array:
-        cor = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
-        cor = nn.relu(_conv(192, 3, name="convc2")(cor))
-        flo = nn.relu(_conv(128, 7, name="convf1")(flow))
-        flo = nn.relu(_conv(64, 3, name="convf2")(flo))
-        out = nn.relu(_conv(126, 3, name="conv")(jnp.concatenate([cor, flo], -1)))
-        return jnp.concatenate([out, flow], axis=-1)  # 128 channels
+        dt = self.config.dtype
+        corr = corr.astype(dt)
+        flow_c = flow.astype(dt)
+        cor = nn.relu(nn.Conv(256, (1, 1), dtype=dt, name="convc1")(corr))
+        cor = nn.relu(_conv(192, 3, name="convc2", dtype=dt)(cor))
+        flo = nn.relu(_conv(128, 7, name="convf1", dtype=dt)(flow_c))
+        flo = nn.relu(_conv(64, 3, name="convf2", dtype=dt)(flo))
+        out = nn.relu(_conv(126, 3, name="conv", dtype=dt)(jnp.concatenate([cor, flo], -1)))
+        return jnp.concatenate([out, flow_c], axis=-1)  # 128 channels
 
 
 class SepConvGRU(nn.Module):
     hidden_dim: int = 128
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
+        h = h.astype(self.dtype)
+        x = x.astype(self.dtype)
         for suffix, kernel in (("1", (1, 5)), ("2", (5, 1))):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(_conv(self.hidden_dim, kernel, name=f"convz{suffix}")(hx))
-            r = nn.sigmoid(_conv(self.hidden_dim, kernel, name=f"convr{suffix}")(hx))
-            q = jnp.tanh(_conv(self.hidden_dim, kernel, name=f"convq{suffix}")(
+            z = nn.sigmoid(_conv(self.hidden_dim, kernel, name=f"convz{suffix}", dtype=self.dtype)(hx))
+            r = nn.sigmoid(_conv(self.hidden_dim, kernel, name=f"convr{suffix}", dtype=self.dtype)(hx))
+            q = jnp.tanh(_conv(self.hidden_dim, kernel, name=f"convq{suffix}", dtype=self.dtype)(
                 jnp.concatenate([r * h, x], axis=-1)))
             h = (1 - z) * h + z * q
         return h
@@ -165,13 +176,14 @@ class BasicUpdateBlock(nn.Module):
     def __call__(
         self, net: jax.Array, inp: jax.Array, corr: jax.Array, flow: jax.Array
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        dt = self.config.dtype
         motion = BasicMotionEncoder(self.config, name="encoder")(flow, corr)
-        net = SepConvGRU(self.config.hidden_dim, name="gru")(
-            net, jnp.concatenate([inp, motion], axis=-1))
-        delta = _conv(2, 3, name="flow_head_conv2")(
-            nn.relu(_conv(256, 3, name="flow_head_conv1")(net)))
-        mask = nn.Conv(64 * 9, (1, 1), name="mask_conv2")(
-            nn.relu(_conv(256, 3, name="mask_conv1")(net)))
+        net = SepConvGRU(self.config.hidden_dim, dtype=dt, name="gru")(
+            net, jnp.concatenate([inp.astype(dt), motion], axis=-1))
+        delta = _conv(2, 3, name="flow_head_conv2", dtype=dt)(
+            nn.relu(_conv(256, 3, name="flow_head_conv1", dtype=dt)(net)))
+        mask = nn.Conv(64 * 9, (1, 1), dtype=dt, name="mask_conv2")(
+            nn.relu(_conv(256, 3, name="mask_conv1", dtype=dt)(net)))
         return net, 0.25 * mask, delta
 
 
@@ -184,17 +196,20 @@ class _UpdateIteration(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
+        dt = self.config.dtype
         net, coords1, mask, inp, coords0, pyramid = carry
         corr = lookup_corr_pyramid_dense(list(pyramid), coords1, self.config.corr_radius)
         flow = coords1 - coords0
         motion = BasicMotionEncoder(self.config, name="encoder")(flow, corr)
-        net = SepConvGRU(self.config.hidden_dim, name="gru")(
-            net, jnp.concatenate([inp, motion], axis=-1))
-        delta = _conv(2, 3, name="flow_head_conv2")(
-            nn.relu(_conv(256, 3, name="flow_head_conv1")(net)))
-        mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask_conv2")(
-            nn.relu(_conv(256, 3, name="mask_conv1")(net)))
-        return (net, coords1 + delta, mask, inp, coords0, pyramid), None
+        net = SepConvGRU(self.config.hidden_dim, dtype=dt, name="gru")(
+            net, jnp.concatenate([inp.astype(dt), motion], axis=-1))
+        delta = _conv(2, 3, name="flow_head_conv2", dtype=dt)(
+            nn.relu(_conv(256, 3, name="flow_head_conv1", dtype=dt)(net)))
+        mask = 0.25 * nn.Conv(64 * 9, (1, 1), dtype=dt, name="mask_conv2")(
+            nn.relu(_conv(256, 3, name="mask_conv1", dtype=dt)(net)))
+        # flow updates accumulate in f32 regardless of the conv dtype
+        return (net, coords1 + delta.astype(jnp.float32), mask, inp, coords0,
+                pyramid), None
 
 
 def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
@@ -225,14 +240,15 @@ class RAFT(nn.Module):
         image1 = 2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0
         image2 = 2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0
 
-        fnet = BasicEncoder(cfg.fnet_dim, "instance", name="fnet")
+        fnet = BasicEncoder(cfg.fnet_dim, "instance", dtype=cfg.dtype, name="fnet")
         fmap1 = fnet(image1)
         fmap2 = fnet(image2)
         pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
 
-        cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim, "batch", name="cnet")(image1)
-        net = jnp.tanh(cnet[..., : cfg.hidden_dim])
-        inp = nn.relu(cnet[..., cfg.hidden_dim :])
+        cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim, "batch",
+                            dtype=cfg.dtype, name="cnet")(image1)
+        net = jnp.tanh(cnet[..., : cfg.hidden_dim]).astype(cfg.dtype)
+        inp = nn.relu(cnet[..., cfg.hidden_dim :]).astype(cfg.dtype)
 
         b, h8, w8 = fmap1.shape[:3]
         gy, gx = jnp.meshgrid(jnp.arange(h8, dtype=jnp.float32),
@@ -247,7 +263,7 @@ class RAFT(nn.Module):
             split_rngs={"params": False},
             length=cfg.iters,
         )
-        mask0 = jnp.zeros((b, h8, w8, 64 * 9), jnp.float32)
+        mask0 = jnp.zeros((b, h8, w8, 64 * 9), cfg.dtype)
         carry0 = (net, coords0, mask0, inp, coords0, tuple(pyramid))
         (net, coords1, mask, *_), _ = scan(cfg, name="update_block")(carry0, None)
-        return convex_upsample(coords1 - coords0, mask)
+        return convex_upsample(coords1 - coords0, mask.astype(jnp.float32))

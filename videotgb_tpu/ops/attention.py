@@ -52,37 +52,44 @@ def dot_product_attention(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_kv: int, scale: float, s_kv: int
+    q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_kv: int, scale: float,
+    s_kv: int
 ):
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
-    bq = q.shape[0]
-    d = q.shape[1]
+    """Processes a (RB, bq, d) slab of rows (batch*head) per program: small
+    per-program grids starve the TPU on short sequences, so rows are batched
+    into one dot_general and the KV loop runs over the full slab."""
+    q = q_ref[:].astype(jnp.float32) * scale  # (rb, bq, d)
+    rb, bq, d = q.shape
     n_kv = s_kv // block_kv
 
     def body(i, carry):
         m_prev, l_prev, acc_prev = carry
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        k = k_ref[:, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[:, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bkv)
-        if bias_ref is not None:
-            s = s + bias_ref[0, :, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (rb, bq, bkv)
+        s = s + bias_ref[:, :, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (rb, bq, 1)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc_prev * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    m0 = jnp.full((rb, bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rb, bq, 1), jnp.float32)
+    acc0 = jnp.zeros((rb, bq, d), jnp.float32)
+    if n_kv == 1:
+        _, l, acc = body(0, (m0, l0, acc0))
+    else:
+        _, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _flash_forward(
@@ -124,24 +131,40 @@ def _flash_forward(
         if (bias_b, bias_h) != (1, 1) else bias.reshape(1, sq_p, skv_p)
     bias_bh = biasf.shape[0]
 
-    grid = (bh, sq_p // block_q)
+    # row-batching: pack several (batch*head) rows per program so short
+    # sequences still launch MXU-sized work; VMEM budget ~ rb*(2*skv + sq)*d
+    row_block = 1
+    for cand_rb in (16, 8, 4, 2):
+        if bh % cand_rb == 0:
+            vmem_est = cand_rb * (2 * skv_p + 2 * sq_p) * d * 4 \
+                + cand_rb * block_q * skv_p * 4
+            if vmem_est < 8 * 1024 * 1024:
+                row_block = cand_rb
+                break
+
+    grid = (bh // row_block, sq_p // block_q)
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, block_kv=block_kv, scale=scale, s_kv=skv_p
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_p, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, skv_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, skv_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, block_q, skv_p),
-                (lambda i, j: (i, j, 0)) if bias_bh != 1 else (lambda i, j: (0, j, 0)),
+                (row_block if bias_bh != 1 else 1, block_q, skv_p),
+                (lambda i, j: (i, j, 0)) if bias_bh != 1
+                else (lambda i, j: (0, j, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (row_block, block_q, d), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -199,8 +222,20 @@ def flash_attention(
         use_pallas = jax.default_backend() not in ("cpu",)
     if not use_pallas:
         return dot_product_attention(q, k, v, bias, scale)
-    block_q = min(block_q, max(q.shape[2], 8))
-    block_kv = min(block_kv, max(k.shape[2], 8))
+
+    def round8(x):
+        return ((x + 7) // 8) * 8
+
+    # short sequences: one whole-sequence block (per-program work stays
+    # MXU-sized via row batching in _flash_forward)
+    if q.shape[2] <= 512:
+        block_q = round8(q.shape[2])
+    else:
+        block_q = min(block_q, round8(q.shape[2]))
+    if k.shape[2] <= 512:
+        block_kv = round8(k.shape[2])
+    else:
+        block_kv = min(block_kv, round8(k.shape[2]))
     return _flash_attention(q, k, v, bias, scale, block_q, block_kv)
 
 
