@@ -136,6 +136,27 @@ conv_lstp = Conversation(
     sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>", version="lstp",
 )
 
+conv_mpt = Conversation(
+    system="<|im_start|>system\nA conversation between a user and an LLM-based "
+    "AI assistant. The assistant gives helpful and honest answers.",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
+    messages=[], sep_style=SeparatorStyle.MPT, sep="<|im_end|>", version="mpt",
+)
+
+conv_llava_v0 = Conversation(
+    system="A chat between a curious human and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the human's questions.",
+    roles=("Human", "Assistant"), messages=[], sep_style=SeparatorStyle.SINGLE,
+    sep="###", version="v0",
+)
+
+conv_llava_v1 = Conversation(
+    system="A chat between a curious human and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the human's questions.",
+    roles=("USER", "ASSISTANT"), messages=[], sep_style=SeparatorStyle.TWO,
+    sep=" ", sep2="</s>", version="v1",
+)
+
 conv_templates = {
     "default": conv_vicuna_v1,
     "v0": conv_vicuna_v0,
@@ -143,7 +164,11 @@ conv_templates = {
     "vicuna_v1": conv_vicuna_v1,
     "llama_2": conv_llama_2,
     "plain": conv_plain,
+    "v0_plain": conv_plain,
+    "llava_v0": conv_llava_v0,
+    "llava_v1": conv_llava_v1,
     "flant5": conv_flant5,
+    "mpt": conv_mpt,
     "lstp": conv_lstp,
 }
 

@@ -62,6 +62,10 @@ def parse_args(argv=None):
     p.add_argument("--do_sample", type=int, default=1)
     p.add_argument("--temperature", type=float, default=0.2)
     p.add_argument("--decode_workers", type=int, default=8)
+    p.add_argument("--stop", action="append", default=[],
+                   help="stop keyword(s), tokenized and matched as generated "
+                        "suffixes (KeywordsStoppingCriteria, "
+                        "eval/utils/builder_utils.py:320-346)")
     return p.parse_args(argv)
 
 
@@ -158,8 +162,15 @@ def run_inference(args) -> str:
         do_sample=bool(args.do_sample),
         temperature=args.temperature,
     )
+    stop_sequences = tuple(
+        tuple(int(t) for t in tok.encode(word) if t != tok.eos_token_id)
+        if hasattr(tok, "encode") else ()
+        for word in args.stop
+    )
+    stop_sequences = tuple(s for s in stop_sequences if s)
     gen = jax.jit(
-        lambda params, batch, key: generate_blip2(model, params, batch, dcfg, key)
+        lambda params, batch, key: generate_blip2(
+            model, params, batch, dcfg, key, stop_sequences=stop_sequences)
     )
 
     samples = []

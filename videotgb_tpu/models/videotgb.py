@@ -351,6 +351,7 @@ def generate_blip2(
     batch: dict[str, jax.Array],
     decode_config: DecodeConfig,
     key: jax.Array,
+    stop_sequences: tuple[tuple[int, ...], ...] = (),
 ) -> tuple[jax.Array, jax.Array]:
     """Batched BLIP2-Flan-T5 QA generation (the BASELINE inference path,
     eval/utils/model.py:266-441). Returns (token_ids (B, T), cand_index).
@@ -410,7 +411,8 @@ def generate_blip2(
     if beams > 1:
         out = beam_search(step_fn, caches, start, decode_config)
     else:
-        out = decode(step_fn, caches, start, decode_config, key=decode_key)
+        out = decode(step_fn, caches, start, decode_config, key=decode_key,
+                     stop_sequences=stop_sequences)
     return out, cand
 
 

@@ -39,6 +39,10 @@ class ViTConfig:
     num_heads: int = 16
     intermediate_size: int = 6144
     layer_norm_eps: float = 1e-6
+    # nn.scan over layers: one compiled layer body instead of num_layers
+    # unrolled copies (compile time/HLO size ~1/depth); params gain a
+    # leading "layers" axis (training.convert stacks checkpoints to match)
+    scan_layers: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -120,6 +124,14 @@ class ViTLayer(nn.Module):
         return x
 
 
+class _ScanViTLayer(nn.Module):
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, _) -> tuple[jax.Array, None]:
+        return ViTLayer(self.config, name="layer")(x), None
+
+
 class ViTModel(nn.Module):
     """Returns last_hidden_state (B, 257, hidden) after post-layernorm."""
 
@@ -129,7 +141,17 @@ class ViTModel(nn.Module):
     def __call__(self, pixel_values: jax.Array) -> jax.Array:
         cfg = self.config
         x = ViTEmbeddings(cfg, name="embeddings")(pixel_values.astype(cfg.dtype))
-        for i in range(cfg.num_layers):
-            x = ViTLayer(cfg, name=f"layer_{i}")(x)
+        if cfg.scan_layers:
+            scan = nn.scan(
+                _ScanViTLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.num_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )
+            x, _ = scan(cfg, name="layers")(x, None)
+        else:
+            for i in range(cfg.num_layers):
+                x = ViTLayer(cfg, name=f"layer_{i}")(x)
         return LayerNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype,
                          name="post_layernorm")(x)

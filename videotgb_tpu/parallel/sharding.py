@@ -37,6 +37,7 @@ DEFAULT_RULES: tuple[tuple[str, Any], ...] = (
     ("conv_in", None),
     ("conv_out", None),
     ("seq", None),
+    ("layers", None),  # stacked axis from nn.scan-over-layers
 )
 
 

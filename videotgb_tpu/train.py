@@ -169,6 +169,8 @@ def train(cfg: Config) -> dict[str, float]:
     from videotgb_tpu.training.trainer import Trainer, TrainerConfig
 
     seed = cfg.get("seed", 42)
+    if cfg.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
     model, mcfg = build_model(cfg)
     recipe = build_recipe(cfg)
     train_loader, val_loader, tok = build_data(cfg, mcfg)

@@ -316,3 +316,29 @@ def merge_into(params: Any, flat_src: Flat, strict: bool = True) -> Any:
 def with_subtree(flat: Flat, *root: str) -> Flat:
     """Re-root a converted flat dict under a subtree path."""
     return {tuple(root) + path: value for path, value in flat.items()}
+
+
+def stack_layers(
+    flat: Flat,
+    layer_prefix: str = "layer_",
+    stacked_root: tuple[str, ...] = ("layers", "layer"),
+) -> Flat:
+    """Convert per-layer entries (``layer_{i}/...``) into the stacked layout
+    nn.scan-over-layers expects (``layers/layer/...`` with a leading layer
+    axis). Non-layer entries pass through unchanged."""
+    import re
+
+    pat = re.compile(rf"^{re.escape(layer_prefix)}(\d+)$")
+    groups: dict[tuple, dict[int, np.ndarray]] = {}
+    out: Flat = {}
+    for path, value in flat.items():
+        m = pat.match(str(path[0]))
+        if m is None:
+            out[path] = value
+            continue
+        groups.setdefault(path[1:], {})[int(m.group(1))] = value
+    for rest, by_layer in groups.items():
+        n = max(by_layer) + 1
+        assert set(by_layer) == set(range(n)), f"missing layers for {rest}"
+        out[stacked_root + rest] = np.stack([by_layer[i] for i in range(n)])
+    return out
