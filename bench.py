@@ -81,6 +81,22 @@ def _bf16_params(cfg):
         cfg, blip2=blip2, instructblip=iblip, tgb=rep(cfg.tgb))
 
 
+def _scan_layers(cfg):
+    import dataclasses
+
+    def rep(sub):
+        return dataclasses.replace(sub, scan_layers=True)
+
+    blip2 = cfg.blip2
+    if blip2 is not None:
+        blip2 = dataclasses.replace(blip2, vit=rep(blip2.vit), t5=rep(blip2.t5))
+    iblip = cfg.instructblip
+    if iblip is not None:
+        iblip = dataclasses.replace(iblip, vit=rep(iblip.vit),
+                                    llm=rep(iblip.llm))
+    return dataclasses.replace(cfg, blip2=blip2, instructblip=iblip)
+
+
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "flagship")
     batch = int(os.environ.get("BENCH_BATCH", "8"))
@@ -110,6 +126,8 @@ def main() -> None:
     else:
         raise SystemExit(f"unknown BENCH_PRESET {preset}")
     cfg = _bf16_params(cfg)  # inference: weights resident in bf16 (HBM fit)
+    if os.environ.get("BENCH_SCAN", "1") == "1":
+        cfg = _scan_layers(cfg)  # scanned towers: ~1/depth compile time
     model = VideoTGB(cfg)
     image = cfg.blip2.vit.image_size
     flow_size = cfg.tgb.flow_size

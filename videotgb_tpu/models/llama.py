@@ -50,6 +50,9 @@ class LlamaConfig:
     eos_token_id: int = 2
     lora_rank: int = 0
     lora_alpha: float = 32.0
+    # nn.scan over blocks (stacked params) + optional remat (training memory)
+    scan_layers: bool = False
+    remat: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -106,6 +109,19 @@ class LlamaBlock(nn.Module):
         return x, new_cache
 
 
+class _ScanLlamaBlock(nn.Module):
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, cache, positions, bias, cache_index):
+        block_cls = nn.remat(LlamaBlock) if self.config.remat else LlamaBlock
+        x, new_cache = block_cls(self.config, name="layer")(
+            x, positions, bias, cache=cache, cache_index=cache_index)
+        if cache is None:
+            new_cache = 0  # concrete per-step scan output
+        return x, new_cache
+
+
 class LlamaModel(nn.Module):
     config: LlamaConfig
 
@@ -114,8 +130,18 @@ class LlamaModel(nn.Module):
         self.embed_tokens = embed(cfg.vocab_size, cfg.hidden_size,
                                   dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                                   name="embed_tokens")
-        self.blocks = [LlamaBlock(cfg, name=f"layer_{i}")
-                       for i in range(cfg.num_layers)]
+        if cfg.scan_layers:
+            self.blocks_scan = nn.scan(
+                _ScanLlamaBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+                length=cfg.num_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, name="layers")
+        else:
+            self.blocks = [LlamaBlock(cfg, name=f"layer_{i}")
+                           for i in range(cfg.num_layers)]
         self.final_ln = RMSNorm(cfg.rms_norm_eps, dtype=cfg.dtype,
                                 param_dtype=cfg.param_dtype, name="final_ln")
         self.lm_head = dense(cfg.vocab_size, ("embed", "vocab"), use_bias=False,
@@ -145,30 +171,45 @@ class LlamaModel(nn.Module):
             base = 0 if cache_index is None else cache_index
             positions = jnp.broadcast_to(base + jnp.arange(s)[None], (b, s))
 
+        cfg_scan = cfg.scan_layers
         if caches is None:
             bias = make_causal_bias(s, s)
             if attention_mask is not None:
                 bias = bias + make_padding_bias(attention_mask)
             new_caches = None
-            for block in self.blocks:
-                x, _ = block(x, positions, bias)
+            if cfg_scan:
+                x, _ = self.blocks_scan(x, None, positions, bias, None)
+            else:
+                for block in self.blocks:
+                    x, _ = block(x, positions, bias)
         else:
-            s_max = caches[0]["k"].shape[2]
+            first_k = caches["k"] if cfg_scan else caches[0]["k"]
+            s_max = first_k.shape[-2]
             q_pos = cache_index + jnp.arange(s)
             k_pos = jnp.arange(s_max)
             bias = jnp.where(k_pos[None, :] <= q_pos[:, None], 0.0, NEG_INF)[None, None]
             if cache_positions_valid is not None:
                 bias = bias + make_padding_bias(cache_positions_valid)
-            new_caches = []
-            for block, cache in zip(self.blocks, caches):
-                x, nc = block(x, positions, bias, cache=cache, cache_index=cache_index)
-                new_caches.append(nc)
+            if cfg_scan:
+                x, new_caches = self.blocks_scan(x, caches, positions, bias,
+                                                 cache_index)
+            else:
+                new_caches = []
+                for block, cache in zip(self.blocks, caches):
+                    x, nc = block(x, positions, bias, cache=cache, cache_index=cache_index)
+                    new_caches.append(nc)
 
         x = self.final_ln(x)
         return self.lm_head(x).astype(jnp.float32), new_caches
 
-    def init_caches(self, batch: int, max_len: int) -> list[KVCache]:
+    def init_caches(self, batch: int, max_len: int):
         cfg = self.config
+        if cfg.scan_layers:
+            one = init_kv_cache(batch, cfg.num_heads, max_len, cfg.head_dim,
+                                cfg.dtype)
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (cfg.num_layers, *x.shape)).copy(),
+                one)
         return [
             init_kv_cache(batch, cfg.num_heads, max_len, cfg.head_dim, cfg.dtype)
             for _ in range(cfg.num_layers)

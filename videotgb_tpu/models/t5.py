@@ -60,6 +60,10 @@ class T5Config:
     eos_token_id: int = 1
     lora_rank: int = 0
     lora_alpha: float = 32.0
+    # nn.scan over blocks (stacked params, one compiled body) and optional
+    # rematerialization for training memory
+    scan_layers: bool = False
+    remat: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -180,8 +184,52 @@ class T5Block(nn.Module):
         return x, (new_cache or None)
 
 
+class _ScanT5Encoder(nn.Module):
+    config: T5Config
+
+    @nn.compact
+    def __call__(self, x, bias):
+        block_cls = nn.remat(T5Block) if self.config.remat else T5Block
+        x, _ = block_cls(self.config, is_decoder=False, name="block")(x, bias)
+        return x, None
+
+
+class _ScanT5Decoder(nn.Module):
+    config: T5Config
+    cross_prefill: bool = False
+
+    @nn.compact
+    def __call__(self, x, cache, self_bias, encoder_hidden, cross_bias,
+                 cache_index):
+        block_cls = nn.remat(T5Block) if self.config.remat else T5Block
+        x, new_cache = block_cls(self.config, is_decoder=True, name="block")(
+            x, self_bias, encoder_hidden, cross_bias,
+            cache=cache, cache_index=cache_index,
+            cross_prefill=self.cross_prefill,
+        )
+        if cache is None:
+            new_cache = 0  # scan needs a concrete per-step output
+        return x, new_cache
+
+
+def _scan_transform(module_cls, length: int, in_axes):
+    return nn.scan(
+        module_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        in_axes=in_axes,
+        length=length,
+        metadata_params={nn.PARTITION_NAME: "layers"},
+    )
+
+
 class T5Model(nn.Module):
-    """Methods: embed / encode / decode / __call__ (teacher-forced loss pass)."""
+    """Methods: embed / encode / decode / __call__ (teacher-forced loss pass).
+
+    With ``scan_layers`` the encoder/decoder stacks compile once (stacked
+    params under encoder_layers/decoder_layers; convert.stack_layers maps
+    per-layer checkpoints) and decode caches carry a leading layer axis.
+    """
 
     config: T5Config
 
@@ -191,14 +239,28 @@ class T5Model(nn.Module):
                             param_dtype=cfg.param_dtype, name="shared")
         self.enc_rel_bias = RelativePositionBias(cfg, bidirectional=True)
         self.dec_rel_bias = RelativePositionBias(cfg, bidirectional=False)
-        self.encoder_blocks = [
-            T5Block(cfg, is_decoder=False, name=f"encoder_{i}")
-            for i in range(cfg.num_encoder_layers)
-        ]
-        self.decoder_blocks = [
-            T5Block(cfg, is_decoder=True, name=f"decoder_{i}")
-            for i in range(cfg.num_decoder_layers)
-        ]
+        if not cfg.scan_layers:
+            self.encoder_blocks = [
+                T5Block(cfg, is_decoder=False, name=f"encoder_{i}")
+                for i in range(cfg.num_encoder_layers)
+            ]
+            self.decoder_blocks = [
+                T5Block(cfg, is_decoder=True, name=f"decoder_{i}")
+                for i in range(cfg.num_decoder_layers)
+            ]
+        else:
+            dec_axes = (0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast)
+            self.encoder_scan = _scan_transform(
+                _ScanT5Encoder, cfg.num_encoder_layers, (nn.broadcast,)
+            )(cfg, name="encoder_layers")
+            self.decoder_scan = _scan_transform(
+                _ScanT5Decoder, cfg.num_decoder_layers, dec_axes
+            )(cfg, cross_prefill=False, name="decoder_layers")
+            # the prefill variant shares the same parameter scope
+            self.decoder_scan_prefill = _scan_transform(
+                _ScanT5Decoder, cfg.num_decoder_layers, dec_axes
+            )(cfg, cross_prefill=True, name="decoder_layers_prefill")
+            nn.share_scope(self.decoder_scan_prefill, self.decoder_scan)
         self.encoder_final_ln = RMSNorm(cfg.layer_norm_eps, dtype=cfg.dtype,
                                         param_dtype=cfg.param_dtype,
                                         name="encoder_final_ln")
@@ -222,8 +284,11 @@ class T5Model(nn.Module):
         positions = jnp.arange(s)
         bias = self.enc_rel_bias(positions, positions) + make_padding_bias(attention_mask)
         x = inputs_embeds.astype(cfg.dtype)
-        for block in self.encoder_blocks:
-            x, _ = block(x, bias)
+        if cfg.scan_layers:
+            x, _ = self.encoder_scan(x, bias)
+        else:
+            for block in self.encoder_blocks:
+                x, _ = block(x, bias)
         return self.encoder_final_ln(x)
 
     def _logits(self, x: jax.Array) -> jax.Array:
@@ -265,10 +330,16 @@ class T5Model(nn.Module):
             if decoder_mask is not None:
                 self_bias = self_bias + make_padding_bias(decoder_mask)
             new_caches = None
-            for block in self.decoder_blocks:
-                x, _ = block(x, self_bias, encoder_hidden, cross_bias)
+            if cfg.scan_layers:
+                x, _ = self.decoder_scan(x, None, self_bias, encoder_hidden,
+                                         cross_bias, None)
+            else:
+                for block in self.decoder_blocks:
+                    x, _ = block(x, self_bias, encoder_hidden, cross_bias)
         else:
-            s_max = caches[0]["self"]["k"].shape[2]
+            first_self_k = (caches["self"]["k"] if cfg.scan_layers
+                            else caches[0]["self"]["k"])
+            s_max = first_self_k.shape[-2]
             q_pos = cache_index + jnp.arange(s)
             k_pos = jnp.arange(s_max)
             self_bias = self.dec_rel_bias(q_pos, k_pos)
@@ -278,31 +349,46 @@ class T5Model(nn.Module):
             self_bias = self_bias + causal
             if cache_positions_valid is not None:
                 self_bias = self_bias + make_padding_bias(cache_positions_valid)
-            new_caches = []
-            for block, cache in zip(self.decoder_blocks, caches):
-                x, new_cache = block(
-                    x, self_bias, encoder_hidden, cross_bias,
-                    cache=cache, cache_index=cache_index,
-                    cross_prefill=cross_prefill,
-                )
-                new_caches.append(new_cache)
+            if cfg.scan_layers:
+                scan_fn = (self.decoder_scan_prefill if cross_prefill
+                           else self.decoder_scan)
+                x, new_caches = scan_fn(x, caches, self_bias, encoder_hidden,
+                                        cross_bias, cache_index)
+            else:
+                new_caches = []
+                for block, cache in zip(self.decoder_blocks, caches):
+                    x, new_cache = block(
+                        x, self_bias, encoder_hidden, cross_bias,
+                        cache=cache, cache_index=cache_index,
+                        cross_prefill=cross_prefill,
+                    )
+                    new_caches.append(new_cache)
         x = self.decoder_final_ln(x)
         return self._logits(x), new_caches
 
     def init_caches(
         self, batch: int, max_len: int, encoder_len: int
-    ) -> list[LayerCache]:
+    ) -> list[LayerCache] | LayerCache:
         """Zeroed decode caches; the first decode(cross_prefill=True) call
-        fills every layer's cross K/V from the encoder output."""
+        fills every layer's cross K/V from the encoder output. With
+        scan_layers the caches are one stacked pytree (leading layer axis)."""
         cfg = self.config
-        return [
-            {
-                "self": init_kv_cache(batch, cfg.num_heads, max_len, cfg.d_kv, cfg.dtype),
+
+        def one():
+            return {
+                "self": init_kv_cache(batch, cfg.num_heads, max_len, cfg.d_kv,
+                                      cfg.dtype),
                 "cross": init_kv_cache(batch, cfg.num_heads, encoder_len,
                                        cfg.d_kv, cfg.dtype),
             }
-            for _ in range(cfg.num_decoder_layers)
-        ]
+
+        if cfg.scan_layers:
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x, (cfg.num_decoder_layers, *x.shape)).copy(),
+                one(),
+            )
+        return [one() for _ in range(cfg.num_decoder_layers)]
 
     def __call__(
         self,

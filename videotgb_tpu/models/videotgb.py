@@ -409,7 +409,9 @@ def generate_blip2(
         )
 
     if beams > 1:
-        out = beam_search(step_fn, caches, start, decode_config)
+        cache_axis = 1 if cfg.blip2.t5.scan_layers else 0
+        out = beam_search(step_fn, caches, start, decode_config,
+                          cache_batch_axis=cache_axis)
     else:
         out = decode(step_fn, caches, start, decode_config, key=decode_key,
                      stop_sequences=stop_sequences)

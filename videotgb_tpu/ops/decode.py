@@ -142,9 +142,13 @@ def beam_search(
     start_tokens: jax.Array,  # (B,)
     config: DecodeConfig,
     start_index: jax.Array | int = 0,
+    cache_batch_axis: int = 0,
 ) -> jax.Array:
     """Beam search. Caches must already be laid out with batch B*num_beams
-    (tile the batch before building them). Returns (B, max_new_tokens)."""
+    (tile the batch before building them). Returns (B, max_new_tokens).
+
+    ``cache_batch_axis``: which axis of every cache leaf carries the batch
+    (1 for scan_layers models whose caches stack a leading layer axis)."""
     cfg = config
     b = start_tokens.shape[0]
     k = cfg.num_beams
@@ -182,7 +186,8 @@ def beam_search(
         # reorder everything by chosen source beam
         tokens = tokens[flat_src]
         finished = finished[flat_src]
-        caches = jax.tree.map(lambda c: c[flat_src], caches)
+        caches = jax.tree.map(
+            lambda c: jnp.take(c, flat_src, axis=cache_batch_axis), caches)
         nxt = tok_idx.reshape(-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.pad_token_id, nxt)
         tokens = tokens.at[:, t].set(nxt)
