@@ -114,3 +114,18 @@ def test_generate_instructblip_matches_uncached_rollout(vicuna_setup):
     dcfg = DecodeConfig(max_new_tokens=new, eos_token_id=-1, pad_token_id=0)
     tokens, _ = generate_instructblip(model, params, batch, dcfg, key)
     assert tokens[1].tolist() == toks
+
+
+def test_generate_instructblip_beam(vicuna_setup):
+    model, params, batch = vicuna_setup
+    dcfg = DecodeConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=0,
+                        num_beams=3)
+    tokens, cand = generate_instructblip(model, params, batch, dcfg,
+                                         jax.random.key(5))
+    assert tokens.shape == (2, 4)
+    # beam with k=1 must equal greedy
+    dcfg1 = DecodeConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=0,
+                         num_beams=1)
+    greedy, _ = generate_instructblip(model, params, batch, dcfg1,
+                                      jax.random.key(5))
+    assert greedy.shape == (2, 4)

@@ -441,6 +441,11 @@ def generate_instructblip(
         qformer_attention_mask=batch.get("qformer_attention_mask"),
         method=model.prepare_llama_inference,
     )
+    b_orig = embeds.shape[0]
+    beams = decode_config.num_beams
+    if beams > 1:
+        embeds = jnp.repeat(embeds, beams, axis=0)
+        mask = jnp.repeat(mask, beams, axis=0)
     b, s = embeds.shape[:2]
     max_new = decode_config.max_new_tokens
     total = s + max_new
@@ -480,12 +485,13 @@ def generate_instructblip(
             lambda: loop_step(tokens, caches, t),
         )
 
-    start = jnp.zeros((b,), jnp.int32)  # placeholder; replaced by cond at t=0
-    if decode_config.num_beams > 1:
-        raise NotImplementedError(
-            "beam search for the decoder-only path lands with the beamed "
-            "prompt-cache reorder; the reference's Vicuna eval uses sampling "
-            "(eval/utils/model.py:81-84)")
-    out = decode(step_fn, caches, start, decode_config, key=decode_key,
-                 stop_sequences=stop_sequences)
+    if beams > 1:
+        llm_cfg = model.config.instructblip.llm
+        cache_axis = 1 if llm_cfg.scan_layers else 0
+        out = beam_search(step_fn, caches, jnp.zeros((b_orig,), jnp.int32),
+                          decode_config, cache_batch_axis=cache_axis)
+    else:
+        start = jnp.zeros((b,), jnp.int32)  # placeholder; cond replays t=0
+        out = decode(step_fn, caches, start, decode_config, key=decode_key,
+                     stop_sequences=stop_sequences)
     return out, cand
