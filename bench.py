@@ -99,9 +99,12 @@ def _scan_layers(cfg):
 
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "flagship")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))
-    flow_frames = int(os.environ.get("BENCH_FLOW_FRAMES", "8"))
+    # reference-faithful flow sampling: ~1 fps over the clip's timeline
+    # (eval/utils/builder_utils.py:25-45, inference.py:66) — the 3.2 s bench
+    # clip gets 4 flow frames; override via BENCH_FLOW_FRAMES
+    flow_frames = int(os.environ.get("BENCH_FLOW_FRAMES", "4"))
     max_new = int(os.environ.get("BENCH_MAX_NEW", "16"))
 
     import jax

