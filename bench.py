@@ -2,7 +2,7 @@
 
 Measures the BASELINE north-star metric: decoded-candidate-frames/sec/chip
 through the full pipeline — host video decode (synthetic mp4 via cv2) ->
-CLIP preprocO -> RAFT optical flow -> TGB span prediction -> Gumbel frame
+CLIP preprocess -> RAFT optical flow -> TGB span prediction -> Gumbel frame
 selection -> ViT -> Q-Former (mean-pooled) -> T5 greedy decode — plus p50
 latency per 32-frame clip.
 
@@ -20,7 +20,6 @@ from __future__ import annotations
 import json
 import os
 import statistics
-import sys
 import time
 
 import numpy as np

@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 

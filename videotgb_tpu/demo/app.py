@@ -16,11 +16,9 @@ from __future__ import annotations
 
 import argparse
 import base64
-import io
 import json
 import os
 import tempfile
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np

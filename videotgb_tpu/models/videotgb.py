@@ -51,8 +51,6 @@ class VideoTGBConfig:
         """Flagship-shaped but depth/width-reduced: same tower structure,
         token counts, and selection pipeline as production, sized for
         single-chip compile checks and CPU-mesh dryruns."""
-        import dataclasses as _dc
-
         from videotgb_tpu.models.qformer import QFormerConfig
         from videotgb_tpu.models.t5 import T5Config
         from videotgb_tpu.models.vit import ViTConfig

@@ -12,7 +12,6 @@ import dataclasses
 import os
 from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 from videotgb_tpu.utils.logging import get_logger

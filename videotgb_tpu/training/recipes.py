@@ -23,13 +23,11 @@ how the reference itself escaped this cost with its staged pipeline.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 
-from videotgb_tpu.models.blip2 import IGNORE_INDEX, cross_entropy_ignore
 from videotgb_tpu.models.videotgb import VideoTGB
 from videotgb_tpu.ops.span import largest_rectangle_span, rescale_index
 from videotgb_tpu.training.optim import path_freeze_filter
