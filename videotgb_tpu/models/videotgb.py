@@ -367,8 +367,24 @@ def generate_blip2(
         batch["question_mask"], sel_key,
         method=model.prepare_t5_inference,
     )
+    out = t5_generate_from_encoder(model, params, enc_hidden, enc_mask,
+                                   decode_config, decode_key, stop_sequences)
+    return out, cand
+
+
+def t5_generate_from_encoder(
+    model: VideoTGB,
+    params: Any,
+    enc_hidden: jax.Array,
+    enc_mask: jax.Array,
+    decode_config: DecodeConfig,
+    decode_key: jax.Array,
+    stop_sequences: tuple[tuple[int, ...], ...] = (),
+) -> jax.Array:
+    """Greedy/sample/beam T5 decode given a computed encoder state."""
+    cfg = model.config
     b = enc_hidden.shape[0]
-    t5cfg = cfg.blip2.t5 if cfg.backbone == "blip2" else None
+    t5cfg = cfg.blip2.t5
     beams = decode_config.num_beams
     max_new = decode_config.max_new_tokens
 
@@ -408,12 +424,74 @@ def generate_blip2(
 
     if beams > 1:
         cache_axis = 1 if cfg.blip2.t5.scan_layers else 0
-        out = beam_search(step_fn, caches, start, decode_config,
-                          cache_batch_axis=cache_axis)
-    else:
-        out = decode(step_fn, caches, start, decode_config, key=decode_key,
-                     stop_sequences=stop_sequences)
-    return out, cand
+        return beam_search(step_fn, caches, start, decode_config,
+                           cache_batch_axis=cache_axis)
+    return decode(step_fn, caches, start, decode_config, key=decode_key,
+                  stop_sequences=stop_sequences)
+
+
+# ------------------------------------------- two-phase (bandwidth-aware) mode
+def select_phase_blip2(
+    model: VideoTGB,
+    params: Any,
+    flow_rgb_u8: jax.Array,  # (B, L+1, Hf, Wf, 3) uint8 flow frames
+    batch: dict[str, jax.Array],
+    key: jax.Array,
+) -> jax.Array:
+    """Phase 1 of the low-host-bandwidth serving split: RAFT + TGB + Gumbel
+    selection on device from the (small) flow frames only. The host ships
+    ~0.8 MB/clip here, fetches the (B, nframe) indices, then ships only the
+    selected candidate frames to :func:`answer_phase_blip2` — the full
+    32-frame slab never crosses the host link."""
+    flow = model.apply(params, flow_rgb_u8.astype(jnp.float32),
+                       method=model.compute_flow)[:, 1:]
+    rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
+    rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
+    flow = flow / (rad_max + 1e-5)
+    _, sl, el = model.apply(
+        params, flow, batch["flow_mask"], batch["sampler_question_ids"],
+        batch["sampler_question_mask"], "fusion", method=model.span_logits)
+    return model.apply(params, sl, el, batch["video_length"], key,
+                       inclusive_end=False, method=model.select_frames)
+
+
+def answer_phase_blip2(
+    model: VideoTGB,
+    params: Any,
+    selected_frames_u8: jax.Array,  # (B, nframe, H, W, 3) uint8 RGB
+    batch: dict[str, jax.Array],
+    decode_config: DecodeConfig,
+    key: jax.Array,
+) -> jax.Array:
+    """Phase 2: CLIP normalization on device, ViT -> Q-Former (mean pooled)
+    -> T5 encode + decode."""
+    from videotgb_tpu.data.constants import CLIP_MEAN, CLIP_STD
+
+    mean = jnp.asarray(CLIP_MEAN)
+    std = jnp.asarray(CLIP_STD)
+    frames = (selected_frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+    b, nf = frames.shape[:2]
+    visual = model.apply(
+        params, frames.reshape(b * nf, *frames.shape[2:]), b,
+        method=_encode_frames_pool_method)
+    embeds, mask = model.apply(params, visual, batch["question_ids"],
+                               batch["question_mask"],
+                               method=_encoder_inputs_method)
+    enc_hidden = model.apply(params, embeds, mask, method=_t5_encode_method)
+    return t5_generate_from_encoder(model, params, enc_hidden, mask,
+                                    decode_config, key)
+
+
+def _encode_frames_pool_method(mdl: VideoTGB, flat, groups):
+    return mdl.model.encode_frames(flat, mean_pool_groups=groups)
+
+
+def _encoder_inputs_method(mdl: VideoTGB, visual, q_ids, q_mask):
+    return mdl.model.encoder_inputs(visual, q_ids, q_mask)
+
+
+def _t5_encode_method(mdl: VideoTGB, embeds, mask):
+    return mdl.model.language_model.encode(embeds, mask)
 
 
 def generate_instructblip(
