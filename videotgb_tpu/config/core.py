@@ -185,6 +185,24 @@ def compose(
     defaults = root.pop("defaults", [])
     cfg: Config = Config()
 
+    def apply_group(cfg: Config, group: str, name: str) -> Config:
+        group_cfg = load_yaml(os.path.join(config_dir, group, f"{name}.yaml"))
+        if group_cfg.pop("_global_", False) or group == "experiment":
+            # global overlays patch the whole tree (hydra @package _global_),
+            # first applying their own "override /group: name" sub-defaults
+            sub_defaults = group_cfg.pop("defaults", [])
+            for sub in sub_defaults:
+                if isinstance(sub, Mapping):
+                    for g, n in sub.items():
+                        g = g.removeprefix("override ").strip("/")
+                        if n in (None, "null"):
+                            cfg.pop(g, None)
+                            continue
+                        sub_cfg = load_yaml(os.path.join(config_dir, g, f"{n}.yaml"))
+                        cfg = merge(cfg, Config({g: sub_cfg}))
+            return merge(cfg, group_cfg)
+        return merge(cfg, Config({group: group_cfg}))
+
     for entry in defaults:
         if entry == "_self_":
             cfg = merge(cfg, root)
@@ -196,34 +214,14 @@ def compose(
         name = selections.pop(group, name)
         if name in (None, "null"):
             continue
-        group_cfg = load_yaml(os.path.join(config_dir, group, f"{name}.yaml"))
-        if group_cfg.pop("_global_", False) or group == "experiment":
-            # experiment overlays patch the whole tree (hydra @package _global_)
-            sub_defaults = group_cfg.pop("defaults", [])
-            for sub in sub_defaults:
-                if isinstance(sub, Mapping):
-                    for g, n in sub.items():
-                        g = g.removeprefix("override ").strip("/")
-                        if n in (None, "null"):
-                            cfg.pop(g, None)
-                            continue
-                        sub_cfg = load_yaml(os.path.join(config_dir, g, f"{n}.yaml"))
-                        cfg = merge(cfg, Config({g: sub_cfg}))
-            cfg = merge(cfg, group_cfg)
-        else:
-            cfg = merge(cfg, Config({group: group_cfg}))
+        cfg = apply_group(cfg, group, name)
 
     if "_self_" not in defaults:
         cfg = merge(cfg, root)
 
     # remaining group selections that were not in defaults
     for group, name in selections.items():
-        group_path = os.path.join(config_dir, group, f"{name}.yaml")
-        group_cfg = load_yaml(group_path)
-        if group_cfg.pop("_global_", False) or group == "experiment":
-            cfg = merge(cfg, group_cfg)
-        else:
-            cfg = merge(cfg, Config({group: group_cfg}))
+        cfg = apply_group(cfg, group, name)
 
     cfg = merge(cfg, parse_overrides(value_overrides))
     return resolve(cfg)

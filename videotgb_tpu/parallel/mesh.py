@@ -66,6 +66,12 @@ def create_mesh(
     """
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
+    if -1 not in (config.dp, config.fsdp, config.tp):
+        # fully specified layout: use the first dp*fsdp*tp devices (e.g. the
+        # single-device debug trainer on a multi-device host)
+        want = config.dp * config.fsdp * config.tp
+        if want <= len(devices):
+            devices = devices[:want]
     shape = config.resolve(len(devices))
     device_array = np.asarray(devices).reshape(shape)
     return Mesh(device_array, AXIS_NAMES)

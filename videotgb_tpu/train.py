@@ -158,6 +158,49 @@ def evaluate_tg(model, recipe, state, loader, tok) -> dict[str, float]:
     }
 
 
+def evaluate_generative(model, recipe, state, loader, tok,
+                        max_new_tokens: int = 16) -> dict[str, float]:
+    """SF/E2E/IV validation: greedy generation scored with BLEU-1 — the
+    reference's val/score monitor (LSTP_SF_blip2_module.py:107-119,560-584)."""
+    import jax.numpy as jnp
+
+    from videotgb_tpu.data.loader import device_batch
+    from videotgb_tpu.models.videotgb import generate_blip2
+    from videotgb_tpu.ops.decode import DecodeConfig
+    from videotgb_tpu.training import metrics as M
+
+    t5cfg = model.config.blip2.t5 if model.config.backbone == "blip2" else None
+    dcfg = DecodeConfig(
+        max_new_tokens=max_new_tokens,
+        eos_token_id=t5cfg.eos_token_id if t5cfg else 2,
+        pad_token_id=t5cfg.pad_token_id if t5cfg else 0,
+    )
+    loss_state = M.mean_init()
+    preds: list[str] = []
+    targets: list[str] = []
+    params = ({"params": state.params} if "params" not in state.params
+              else state.params)
+    from videotgb_tpu.training.recipes import SFRecipe
+
+    for batch in loader:
+        db = device_batch(batch)
+        # the SF loss needs host-distilled pseudo scores; eval is
+        # generation-only for it (matching eval_forward, which never
+        # computes mrc_loss — LSTP_SF_blip2_module.py:382-508)
+        if not isinstance(recipe, SFRecipe) or "scores" in db:
+            loss, _ = recipe.loss_fn(model, state.params, db, jax.random.key(0))
+            loss_state = M.mean_update(loss_state, loss)
+        if model.config.backbone == "blip2":
+            tokens, _ = generate_blip2(model, params, db, dcfg, jax.random.key(0))
+            preds.extend(tok.batch_decode(np.asarray(tokens),
+                                          skip_special_tokens=True))
+            targets.extend(a.replace(" </s>", "") for a in batch["_text_answer"])
+    out = {"val/loss": float(M.mean_compute(loss_state))}
+    if preds:
+        out["val/score"] = M.bleu1(preds, targets)
+    return out
+
+
 def train(cfg: Config) -> dict[str, float]:
     from flax import linen as nn
 
@@ -228,15 +271,10 @@ def train(cfg: Config) -> dict[str, float]:
     def eval_fn(state):
         if cfg.model.get("recipe", "tg") == "tg":
             return evaluate_tg(model, recipe, state, val_loader, tok)
-        # generic: mean val loss
-        from videotgb_tpu.training import metrics as M
-
-        loss_state = M.mean_init()
-        for batch in val_loader:
-            loss, _ = recipe.loss_fn(model, state.params,
-                                     device_batch(batch), jax.random.key(0))
-            loss_state = M.mean_update(loss_state, loss)
-        return {"val/loss": float(M.mean_compute(loss_state))}
+        # generative recipes: val loss + BLEU-1 of greedy answers (val/score)
+        return evaluate_generative(
+            model, recipe, state, val_loader, tok,
+            max_new_tokens=cfg.model.get("eval_max_new", 16))
 
     def checkpoint_fn(state, metrics):
         ckpt.save(int(state.step), {"params": state.params}, metrics)

@@ -26,6 +26,10 @@ class CSVWriter:
         os.makedirs(directory, exist_ok=True)
         self.path = os.path.join(directory, "metrics.csv")
         self._fields: list[str] = []
+        if os.path.exists(self.path):  # resume: adopt the existing header
+            with open(self.path) as f:
+                reader = csv.reader(f)
+                self._fields = next(reader, []) or []
 
     def log_hyperparams(self, params: Mapping[str, Any]) -> None:
         with open(os.path.join(os.path.dirname(self.path), "hparams.json"), "w") as f:
