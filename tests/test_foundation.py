@@ -79,9 +79,14 @@ def test_mesh_axes_and_sizes():
     assert mesh2.shape["dp"] == 2 and mesh2.shape["tp"] == 2
 
 
-def test_mesh_invalid_sizes():
+def test_mesh_sizes_validation():
+    # fully-specified layouts smaller than the host take a device subset
+    mesh = create_mesh(MeshConfig(dp=3, fsdp=1, tp=1))
+    assert mesh.devices.size == 3
     with pytest.raises(ValueError):
-        create_mesh(MeshConfig(dp=3, fsdp=1, tp=1))  # 8 not divisible by 3
+        create_mesh(MeshConfig(dp=-1, fsdp=3, tp=1))  # 8 not divisible by 3
+    with pytest.raises(ValueError):
+        create_mesh(MeshConfig(dp=16, fsdp=1, tp=1))  # more than available
 
 
 # ------------------------------------------------------------------ metrics
