@@ -257,8 +257,11 @@ def train(cfg: Config) -> dict[str, float]:
         jnp.asarray(db["question_ids"]), jnp.asarray(db["question_mask"]),
         key, method=model.init_pipeline,
     )
+    from videotgb_tpu.parallel.sharding import param_partition_spec
+
+    param_specs = param_partition_spec(variables["params"])
     params = nn.meta.unbox(variables)["params"]
-    state = trainer.init_state(params)
+    state = trainer.init_state(params, param_specs=param_specs)
 
     ckpt_dir = cfg.get("paths", Config()).get("ckpt_dir", "outputs/checkpoints")
     ckpt = CheckpointManager(CheckpointConfig(directory=ckpt_dir,

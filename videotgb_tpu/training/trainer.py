@@ -87,8 +87,17 @@ class Trainer:
         self._stale_evals = 0
 
     # ------------------------------------------------------------- state init
-    def init_state(self, params: Any) -> TrainState:
+    def init_state(self, params: Any, param_specs: Any = None) -> TrainState:
+        """``param_specs`` (a PartitionSpec pytree from
+        parallel.sharding.param_partition_spec) places params on the mesh —
+        fsdp/tp sharding for the big towers; None leaves them replicated."""
         cfg = self.config
+        if param_specs is not None:
+            from jax.sharding import NamedSharding
+
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                params, param_specs)
         self._tx, mask = make_optimizer(
             params, self._schedule, cfg.weight_decay, self._filter_fn,
             cfg.max_grad_norm,
@@ -100,7 +109,8 @@ class Trainer:
         n_total = sum(int(jnp.size(p)) for p in jax.tree.leaves(params))
         log.info("params: %.2fM trainable / %.2fM total",
                  n_train / 1e6, n_total / 1e6)
-        opt_state = self._tx.init(params)
+        # jitted init inherits the param shardings for the optimizer state
+        opt_state = jax.jit(self._tx.init)(params)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------- train step
