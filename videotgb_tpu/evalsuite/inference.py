@@ -173,6 +173,13 @@ def run_inference(args) -> str:
             model, params, batch, dcfg, key, stop_sequences=stop_sequences)
     )
 
+    @jax.jit
+    def flow_of(params, flow_rgb):
+        flow = model.apply(params, flow_rgb, method=model.compute_flow)[:, 1:]
+        rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
+        rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
+        return flow / (rad_max + 1e-5)
+
     samples = []
     for i, q in enumerate(gt_questions):
         path = find_video(args.video_dir, q["video_name"])
@@ -207,11 +214,7 @@ def run_inference(args) -> str:
                                  padding="max_length", truncation=True,
                                  max_length=text_len)
 
-            flow_in = model.apply(params, flow_rgb, method=model.compute_flow)
-            flow_in = flow_in[:, 1:]
-            rad = jnp.sqrt(jnp.sum(flow_in ** 2, axis=-1))
-            rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
-            flow_in = flow_in / (rad_max + 1e-5)
+            flow_in = flow_of(params, flow_rgb)
 
             batch = {
                 "frames": frames,
