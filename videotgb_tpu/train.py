@@ -313,6 +313,20 @@ def train(cfg: Config) -> dict[str, float]:
     checkpoint_fn(state, final)
     ckpt.wait()
     log.info("final metrics: %s", final)
+
+    if cfg.get("test"):
+        # reference: trainer.test on the best checkpoint after fit
+        # (src/train.py:91-98, best_model_path selection)
+        best = ckpt.best_step()
+        if best is not None:
+            restored = ckpt.restore(best, template={"params": state.params})
+            from videotgb_tpu.training.trainer import TrainState
+
+            best_state = TrainState(restored["params"], None, state.step)
+            test_metrics = {f"test{k[3:]}" if k.startswith("val") else k: v
+                            for k, v in eval_fn(best_state).items()}
+            log.info("test metrics (best ckpt @%d): %s", best, test_metrics)
+            final.update(test_metrics)
     return final
 
 
