@@ -105,6 +105,20 @@ def _scan_layers(cfg):
     return dataclasses.replace(cfg, blip2=blip2, instructblip=iblip)
 
 
+def _fast_act(cfg):
+    """Serving-mode ViT activation: tanh-approx GELU, whose error is below
+    bf16 rounding but erf costs ~12% of the tower (models/vit.py ViTConfig)."""
+    import dataclasses
+
+    def rep(bb):
+        return (dataclasses.replace(
+            bb, vit=dataclasses.replace(bb.vit, act="gelu_new"))
+            if bb is not None else None)
+
+    return dataclasses.replace(cfg, blip2=rep(cfg.blip2),
+                               instructblip=rep(cfg.instructblip))
+
+
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "flagship")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
@@ -144,6 +158,14 @@ def main() -> None:
     cfg = _bf16_params(cfg)  # inference: weights resident in bf16 (HBM fit)
     if os.environ.get("BENCH_SCAN", "1") == "1":
         cfg = _scan_layers(cfg)  # scanned towers: ~1/depth compile time
+    if os.environ.get("BENCH_FAST_ACT", "1") == "1":
+        cfg = _fast_act(cfg)
+    if os.environ.get("BENCH_RAFT_BF16", "1") == "1":
+        # reference-faithful: Lightning precision=bf16 autocasts RAFT's convs
+        # (configs/experiment/*:24); norms and flow accumulation stay f32
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, raft=dataclasses.replace(cfg.raft, dtype=jnp.bfloat16))
     model = VideoTGB(cfg)
     image = cfg.blip2.vit.image_size
     flow_size = cfg.tgb.flow_size
@@ -209,12 +231,8 @@ def main() -> None:
                         pad_token_id=cfg.blip2.t5.pad_token_id)
 
     def pipeline(params, frames, flow_rgb, bd, key):
-        flow = model.apply(params, flow_rgb, method=model.compute_flow)
-        flow = flow[:, 1:]  # L+1 frames -> L flows (+ repeated last)
-        # per-clip max-radius normalization (videoinstruct_dataset.py:211-226)
-        rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
-        rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
-        flow = flow / (rad_max + 1e-5)
+        # L+1 frames -> L aligned pairwise flows, max-radius normalized
+        flow = model.apply(params, flow_rgb, method=model.flow_features)
         b = dict(bd)
         b["frames"] = frames
         b["flow"] = flow

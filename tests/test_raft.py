@@ -104,3 +104,21 @@ def test_raft_zero_motion_small_flow(rng):
     # same-image flow magnitude should not explode; this is a sanity bound,
     # not an accuracy claim (random weights)
     assert float(jnp.mean(jnp.abs(flow))) < float(jnp.mean(jnp.abs(shifted))) + 50.0
+
+
+def test_raft_bf16_close_to_f32(rng):
+    """Serving runs RAFT convs in bf16 (reference Lightning precision=bf16);
+    flow must stay close to the f32 reference on the same weights."""
+    import dataclasses
+
+    cfg = RAFTConfig(iters=6)
+    model32 = RAFT(cfg)
+    model16 = RAFT(dataclasses.replace(cfg, dtype=jnp.bfloat16))
+    img1 = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)), jnp.float32)
+    img2 = jnp.asarray(jnp.roll(img1, 3, axis=2))
+    params = model32.init(jax.random.key(0), img1, img2)
+    f32 = np.asarray(model32.apply(params, img1, img2))
+    f16 = np.asarray(model16.apply(params, img1, img2))
+    scale = np.abs(f32).mean() + 1e-3
+    rel = np.abs(f16 - f32).mean() / scale
+    assert rel < 0.15, rel

@@ -52,12 +52,10 @@ def test_two_phase_matches_fused_generation():
     std = np.asarray(CLIP_STD, np.float32)
     frames_norm = (frames_u8.astype(np.float32) / 255.0 - mean) / std
     flow = model.apply(params, jnp.asarray(flow_u8, jnp.float32),
-                       method=model.compute_flow)[:, 1:]
-    rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
-    rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
+                       method=model.flow_features)
     fused_batch = dict(batch)
     fused_batch["frames"] = jnp.asarray(frames_norm)
-    fused_batch["flow"] = flow / (rad_max + 1e-5)
+    fused_batch["flow"] = flow
     sel_key, _ = jax.random.split(key)
     tokens_fused, cand_fused = generate_blip2(model, params, fused_batch,
                                               dcfg, key)

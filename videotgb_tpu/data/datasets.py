@@ -224,6 +224,8 @@ class IVInstructDataset:
         conv_template: str = "vicuna_v1",
         include_text_only: bool = False,
         text_only_path: str | None = None,
+        num_base_frames: int = 32,
+        pseudo_label_path: str | None = None,
     ):
         with open(text_path) as f:
             self.data = json.load(f)
@@ -233,8 +235,15 @@ class IVInstructDataset:
         self.image_dir = image_dir
         self.video_dir = video_dir
         self.nframe = nframe
+        self.num_base_frames = num_base_frames
         self.image_size = image_size
         self.conv = conv_templates[conv_template]
+        # span ratios keyed by sample id (reference pseudo_label.json); rows
+        # may alternatively embed their own "pseudo_label" [start, end]
+        self.pseudo_label: dict[str, list[float]] = {}
+        if pseudo_label_path and os.path.exists(pseudo_label_path):
+            with open(pseudo_label_path) as f:
+                self.pseudo_label = json.load(f)
 
     def __len__(self) -> int:
         return len(self.data)
@@ -266,13 +275,23 @@ class IVInstructDataset:
             frames = clip_transform(img[None], self.image_size)
             width = 1
         elif "video" in d:
-            span = d.get("pseudo_label", [0.0, 1.0])
+            # decode the 32 base frames, crop to the grounded pseudo-label
+            # span, then uniform-sample nframe INSIDE the span — the
+            # reference's frames[start:end+1] crop (ivinstruct_dataset.py:
+            # 116-123); without it stage 3 trains on whole-video frames
+            span = d.get("pseudo_label") or self.pseudo_label.get(
+                str(d.get("id")), [0.0, 1.0])
             frames, _ = read_video_cv2(
                 os.path.join(self.video_dir, d["video"]),
-                num_frames=self.nframe,
+                num_frames=self.num_base_frames,
                 size=(self.image_size, self.image_size),
             )
-            frames = clip_transform(frames, self.image_size)
+            vlen = frames.shape[0]
+            start = int(span[0] * (vlen - 1))
+            end = int(span[1] * (vlen - 1))
+            frames = frames[start : end + 1]
+            fid = sample_frames(self.nframe, frames.shape[0])
+            frames = clip_transform(frames[fid], self.image_size)
             width = self.nframe
         else:
             frames = None

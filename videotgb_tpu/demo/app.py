@@ -84,14 +84,11 @@ class Chat:
         sq = self.sampler_tok([question], padding="max_length", max_length=64)
 
         flow = self.model.apply(self.params, jnp.asarray(flow_rgb)[None],
-                                method=self.model.compute_flow)[:, 1:]
-        rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
-        rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
-        flow_n = flow / (rad_max + 1e-5)
+                                method=self.model.flow_features)
 
         batch = {
             "frames": jnp.asarray(frames)[None],
-            "flow": flow_n,
+            "flow": flow,
             "flow_mask": jnp.ones((1, self.flow_frames + 2)),
             "video_length": jnp.full((1,), self.flow_frames, jnp.int32),
             "sampler_question_ids": jnp.asarray(sq["input_ids"], jnp.int32),

@@ -175,10 +175,7 @@ def run_inference(args) -> str:
 
     @jax.jit
     def flow_of(params, flow_rgb):
-        flow = model.apply(params, flow_rgb, method=model.compute_flow)[:, 1:]
-        rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
-        rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
-        return flow / (rad_max + 1e-5)
+        return model.apply(params, flow_rgb, method=model.flow_features)
 
     samples = []
     for i, q in enumerate(gt_questions):

@@ -50,9 +50,20 @@ def evaluate(cfg: Config) -> dict[str, float]:
         key, method=model.init_pipeline,
     )
     params = nn.meta.unbox(variables)["params"]
-    mgr = CheckpointManager(CheckpointConfig(directory=cfg.ckpt_path))
-    restored = mgr.restore(template={"params": params})
-    state = TrainState(restored["params"], None, jnp.zeros((), jnp.int32))
+    from videotgb_tpu.training.checkpoint import resolve_ckpt_path
+
+    root, step = resolve_ckpt_path(str(cfg.ckpt_path))
+    mgr = CheckpointManager(CheckpointConfig(directory=root))
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {root}")
+    if "opt_state" in mgr.item_names(step):
+        # full train-state checkpoint: restore params only, skipping the
+        # optimizer payload (partial StandardRestore templates are allowed)
+        restored = mgr.restore(step, template={"params": params})["params"]
+    else:
+        restored = mgr.restore(step, template={"params": params})["params"]
+    state = TrainState(restored, None, jnp.zeros((), jnp.int32))
 
     if cfg.model.get("recipe", "tg") == "tg":
         metrics = evaluate_tg(model, recipe, state, val_loader, tok)

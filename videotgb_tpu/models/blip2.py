@@ -100,9 +100,12 @@ class Blip2Model(nn.Module):
         (LSTP_Vicuna_IVT_module.py:197/342) into attention masking: width-0
         rows keep the static shape but the LLM never attends their visual
         prefix (SURVEY.md section 7.3 item 3)."""
+        from videotgb_tpu.parallel.sharding import constrain_batch
+
         text_embeds = self.language_model.embed(question_ids)
-        embeds = jnp.concatenate([visual_tokens.astype(text_embeds.dtype),
-                                  text_embeds], axis=1)
+        embeds = constrain_batch(
+            jnp.concatenate([visual_tokens.astype(text_embeds.dtype),
+                             text_embeds], axis=1))
         vis_mask = jnp.ones(visual_tokens.shape[:2], question_mask.dtype)
         if visual_valid is not None:
             vis_mask = vis_mask * visual_valid[:, None].astype(vis_mask.dtype)

@@ -58,20 +58,23 @@ def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm2d(affine=False) over NHWC spatial dims."""
+    """InstanceNorm2d(affine=False) over NHWC spatial dims. Statistics are
+    f32 regardless of compute dtype (torch autocast keeps norms in f32)."""
 
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        return ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
 
 
 class FrozenBatchNorm(nn.Module):
     """BatchNorm2d in eval mode: y = (x - mean) / sqrt(var+eps) * scale + bias.
-    Running stats are parameters filled by the checkpoint converter."""
+    Running stats are parameters filled by the checkpoint converter; the
+    affine math runs in f32 and casts back to the compute dtype."""
 
     features: int
     eps: float = 1e-5
@@ -82,7 +85,8 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class _Norm(nn.Module):

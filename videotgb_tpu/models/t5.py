@@ -189,9 +189,11 @@ class _ScanT5Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias):
+        from videotgb_tpu.parallel.sharding import constrain_batch
+
         block_cls = nn.remat(T5Block) if self.config.remat else T5Block
         x, _ = block_cls(self.config, is_decoder=False, name="block")(x, bias)
-        return x, None
+        return constrain_batch(x), None
 
 
 class _ScanT5Decoder(nn.Module):
@@ -201,6 +203,8 @@ class _ScanT5Decoder(nn.Module):
     @nn.compact
     def __call__(self, x, cache, self_bias, encoder_hidden, cross_bias,
                  cache_index):
+        from videotgb_tpu.parallel.sharding import constrain_batch
+
         block_cls = nn.remat(T5Block) if self.config.remat else T5Block
         x, new_cache = block_cls(self.config, is_decoder=True, name="block")(
             x, self_bias, encoder_hidden, cross_bias,
@@ -209,7 +213,7 @@ class _ScanT5Decoder(nn.Module):
         )
         if cache is None:
             new_cache = 0  # scan needs a concrete per-step output
-        return x, new_cache
+        return constrain_batch(x), new_cache
 
 
 def _scan_transform(module_cls, length: int, in_axes):
@@ -283,12 +287,15 @@ class T5Model(nn.Module):
         s = inputs_embeds.shape[1]
         positions = jnp.arange(s)
         bias = self.enc_rel_bias(positions, positions) + make_padding_bias(attention_mask)
-        x = inputs_embeds.astype(cfg.dtype)
+        from videotgb_tpu.parallel.sharding import constrain_batch
+
+        x = constrain_batch(inputs_embeds.astype(cfg.dtype))
         if cfg.scan_layers:
             x, _ = self.encoder_scan(x, bias)
         else:
             for block in self.encoder_blocks:
                 x, _ = block(x, bias)
+                x = constrain_batch(x)
         return self.encoder_final_ln(x)
 
     def _logits(self, x: jax.Array) -> jax.Array:
@@ -318,7 +325,9 @@ class T5Model(nn.Module):
         """
         cfg = self.config
         b, s = decoder_input_ids.shape
-        x = self.shared(decoder_input_ids).astype(cfg.dtype)
+        from videotgb_tpu.parallel.sharding import constrain_batch
+
+        x = constrain_batch(self.shared(decoder_input_ids).astype(cfg.dtype))
         cross_bias = make_padding_bias(encoder_mask)
 
         if caches is None:
@@ -336,6 +345,7 @@ class T5Model(nn.Module):
             else:
                 for block in self.decoder_blocks:
                     x, _ = block(x, self_bias, encoder_hidden, cross_bias)
+                    x = constrain_batch(x)
         else:
             first_self_k = (caches["self"]["k"] if cfg.scan_layers
                             else caches[0]["self"]["k"])

@@ -192,9 +192,12 @@ class TGBModel(nn.Module):
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         b, l = flow.shape[:2]
 
+        from videotgb_tpu.parallel.sharding import constrain_batch
+
         x = TemporalOFEmbedding(cfg, name="temporal_embeddings")(
             flow, flow_mask, deterministic
         )
+        x = constrain_batch(x)
         # question text through the shared BERT word/token-type embeddings
         # (xropebert.py:174-207; positions come from RoPE, not here)
         tok = embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings", **kw)(
@@ -206,6 +209,7 @@ class TGBModel(nn.Module):
         )
         text = LayerNorm(cfg.layer_norm_eps, name="text_ln", **kw)(tok + type_emb)
         text = nn.Dropout(cfg.hidden_dropout)(text, deterministic=deterministic)
+        text = constrain_batch(text)
 
         self_bias = make_padding_bias(flow_mask)
         text_bias = (
@@ -237,12 +241,14 @@ class TGBModel(nn.Module):
             for i in layer_range:
                 x = shared[i >= cfg.fusion_layer](
                     x, self_bias, text, text_bias, sincos_self, sincos_cross)
+                x = constrain_batch(x)
         else:
             for i in layer_range:
                 x = TGBLayer(cfg, has_cross_attention=(i >= cfg.fusion_layer),
                              name=f"layer_{i}")(
                     x, self_bias, text, text_bias, sincos_self, sincos_cross
                 )
+                x = constrain_batch(x)
 
         logits = dense(2, ("embed", None), name="mrc_head", **kw)(x[:, 1:-1])
         return x, logits.astype(jnp.float32)

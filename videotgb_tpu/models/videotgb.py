@@ -136,6 +136,20 @@ class VideoTGB(nn.Module):
         flow = flow.reshape(b, l - 1, *flow.shape[1:])
         return jnp.concatenate([flow, flow[:, -1:]], axis=1)
 
+    def flow_features(self, flow_frames: jax.Array) -> jax.Array:
+        """(B, L+1, H, W, 3) RGB in [0, 255] -> (B, L, H, W, 2) TGB input.
+
+        All L real consecutive pairs, aligned of[i] = flow(i -> i+1) like the
+        reference (eval/utils/model.py:294-303 — its of[i]=flow(i->i+1) with a
+        duplicated last entry; with L+1 decoded frames every entry is a real
+        pair), then per-clip max-radius normalization
+        (videoinstruct_dataset.py:211-226).
+        """
+        flow = self.compute_flow(flow_frames)[:, :-1]
+        rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
+        rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
+        return flow / (rad_max + 1e-5)
+
     # ----------------------------------------------------------------- TGB
     def span_logits(
         self,
@@ -444,10 +458,7 @@ def select_phase_blip2(
     selected candidate frames to :func:`answer_phase_blip2` — the full
     32-frame slab never crosses the host link."""
     flow = model.apply(params, flow_rgb_u8.astype(jnp.float32),
-                       method=model.compute_flow)[:, 1:]
-    rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
-    rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
-    flow = flow / (rad_max + 1e-5)
+                       method=model.flow_features)
     _, sl, el = model.apply(
         params, flow, batch["flow_mask"], batch["sampler_question_ids"],
         batch["sampler_question_mask"], "fusion", method=model.span_logits)

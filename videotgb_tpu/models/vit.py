@@ -39,6 +39,11 @@ class ViTConfig:
     num_heads: int = 16
     intermediate_size: int = 6144
     layer_norm_eps: float = 1e-6
+    # "gelu" = HF-exact erf (parity default). Production bf16 serving uses
+    # "gelu_new" (tanh approx): the approximation error (<=3e-4) is below
+    # bf16 rounding (ulp(1)=3.9e-3) yet erf costs ~12% of the whole tower
+    # on v5e (measured 68 ms of 556 ms at batch 128).
+    act: str = "gelu"
     # nn.scan over layers: one compiled layer body instead of num_layers
     # unrolled copies (compile time/HLO size ~1/depth); params gain a
     # leading "layers" axis (training.convert stacks checkpoints to match)
@@ -105,7 +110,8 @@ class ViTLayer(nn.Module):
     config: ViTConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 bias: jax.Array | None = None) -> jax.Array:
         cfg = self.config
         h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype, name="ln1")(x)
         attn, _ = MultiHeadAttention(
@@ -114,11 +120,11 @@ class ViTLayer(nn.Module):
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
             name="attn",
-        )(h)
+        )(h, bias=bias)
         x = x + attn
         h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype, name="ln2")(x)
         x = x + Mlp(
-            cfg.intermediate_size, act="gelu", dtype=cfg.dtype,
+            cfg.intermediate_size, act=cfg.act, dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, name="mlp",
         )(h)
         return x
@@ -128,12 +134,21 @@ class _ScanViTLayer(nn.Module):
     config: ViTConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, _) -> tuple[jax.Array, None]:
-        return ViTLayer(self.config, name="layer")(x), None
+    def __call__(self, carry, _):
+        x, bias = carry
+        return (ViTLayer(self.config, name="layer")(x, bias), bias), None
 
 
 class ViTModel(nn.Module):
-    """Returns last_hidden_state (B, 257, hidden) after post-layernorm."""
+    """Returns last_hidden_state (B, 257, hidden) after post-layernorm.
+
+    The token axis is padded ONCE to a multiple of 8 after the embeddings
+    (257 -> 264 for 224px/14) with the pad keys masked by an additive bias.
+    Without this, every layer's flash-attention call re-pads q/k/v and the
+    (S=257)-shaped tensors force unaligned relayouts — measured at ~11% of
+    the whole tower's runtime on v5e. Real-token outputs are bit-identical:
+    the per-layer flash path applied exactly this pad+mask internally.
+    """
 
     config: ViTConfig
 
@@ -141,6 +156,13 @@ class ViTModel(nn.Module):
     def __call__(self, pixel_values: jax.Array) -> jax.Array:
         cfg = self.config
         x = ViTEmbeddings(cfg, name="embeddings")(pixel_values.astype(cfg.dtype))
+        seq = x.shape[1]
+        pad = (-seq) % 8
+        bias = None
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            bias = jnp.where(jnp.arange(seq + pad) < seq, 0.0, -1e30)
+            bias = bias.astype(jnp.float32)[None, None, None, :]
         if cfg.scan_layers:
             scan = nn.scan(
                 _ScanViTLayer,
@@ -149,9 +171,11 @@ class ViTModel(nn.Module):
                 length=cfg.num_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
-            x, _ = scan(cfg, name="layers")(x, None)
+            (x, _), _ = scan(cfg, name="layers")((x, bias), None)
         else:
             for i in range(cfg.num_layers):
-                x = ViTLayer(cfg, name=f"layer_{i}")(x)
+                x = ViTLayer(cfg, name=f"layer_{i}")(x, bias)
+        if pad:
+            x = x[:, :seq]
         return LayerNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype,
                          name="post_layernorm")(x)

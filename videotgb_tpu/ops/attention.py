@@ -57,19 +57,26 @@ def _flash_kernel(
 ):
     """Processes a (RB, bq, d) slab of rows (batch*head) per program: small
     per-program grids starve the TPU on short sequences, so rows are batched
-    into one dot_general and the KV loop runs over the full slab."""
-    q = q_ref[:].astype(jnp.float32) * scale  # (rb, bq, d)
+    into one dot_general and the KV loop runs over the full slab.
+
+    Matmul inputs stay in their storage dtype (bf16 in production) with f32
+    accumulation via preferred_element_type — casting operands to f32 would
+    run the MXU at a fraction of its bf16 rate (measured: the f32 variant
+    made attention cost as much as ALL the MLP matmuls in ViT-g). Softmax
+    statistics are f32 throughout, matching dot_product_attention exactly.
+    """
+    q = q_ref[:]  # (rb, bq, d)
     rb, bq, d = q.shape
     n_kv = s_kv // block_kv
 
     def body(i, carry):
         m_prev, l_prev, acc_prev = carry
-        k = k_ref[:, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[:, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        k = k_ref[:, pl.ds(i * block_kv, block_kv), :]
+        v = v_ref[:, pl.ds(i * block_kv, block_kv), :]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (rb, bq, bkv)
+        ) * scale  # (rb, bq, bkv) f32
         s = s + bias_ref[:, :, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # (rb, bq, 1)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -77,7 +84,7 @@ def _flash_kernel(
         p = jnp.exp(s - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc_prev * alpha + jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
@@ -122,25 +129,59 @@ def _flash_forward(
             constant_values=NEG_INF,
         )
     sq_p, skv_p = s_q + pad_q, s_kv + pad_kv
+    # materialize broadcastable seq dims ((B,1,1,S) padding masks etc.);
+    # batch/head dims stay unbroadcast for the block-spec fast paths below
+    bias = jnp.broadcast_to(bias, (*bias.shape[:2], sq_p, skv_p))
 
     qf = q.reshape(bh, sq_p, d)
     kf = k.reshape(bh, skv_p, d)
     vf = v.reshape(bh, skv_p, d)
+    itemsize = jnp.dtype(q.dtype).itemsize
+
+    # bias layouts, cheapest first: scalar-broadcast (1,...), per-batch
+    # (b,...) indexed as row//h WITHOUT materializing the h-broadcast, or
+    # fully per-row (b*h,...)
     bias_b, bias_h = bias.shape[0], bias.shape[1]
-    biasf = jnp.broadcast_to(bias, (b, h, sq_p, skv_p)).reshape(bh, sq_p, skv_p) \
-        if (bias_b, bias_h) != (1, 1) else bias.reshape(1, sq_p, skv_p)
-    bias_bh = biasf.shape[0]
+    if (bias_b, bias_h) == (1, 1):
+        biasf = bias.reshape(1, sq_p, skv_p)
+    elif bias_h == 1:
+        biasf = bias.reshape(bias_b, sq_p, skv_p)
+    else:
+        biasf = jnp.broadcast_to(
+            bias, (b, h, sq_p, skv_p)).reshape(bh, sq_p, skv_p)
+    bias_rows = biasf.shape[0]
 
     # row-batching: pack several (batch*head) rows per program so short
-    # sequences still launch MXU-sized work; VMEM budget ~ rb*(2*skv + sq)*d
+    # sequences still launch MXU-sized work. Per-batch bias requires every
+    # program's rows to share one batch index -> row_block must divide h.
     row_block = 1
-    for cand_rb in (16, 8, 4, 2):
-        if bh % cand_rb == 0:
-            vmem_est = cand_rb * (2 * skv_p + 2 * sq_p) * d * 4 \
-                + cand_rb * block_q * skv_p * 4
-            if vmem_est < 8 * 1024 * 1024:
-                row_block = cand_rb
-                break
+    for cand_rb in (32, 16, 8, 4, 2):
+        if bh % cand_rb != 0:
+            continue
+        if bias_rows == b and h % cand_rb != 0:
+            continue
+        vmem_est = (
+            cand_rb * 2 * skv_p * d * itemsize       # k, v slabs
+            + cand_rb * block_q * d * (itemsize * 2 + 8)  # q, o, acc(f32)
+            + cand_rb * block_q * block_kv * 8       # scores + exp (f32)
+            + block_q * skv_p * 4 * (cand_rb if bias_rows == bh else 1)
+        )
+        if vmem_est < 10 * 1024 * 1024:
+            row_block = cand_rb
+            break
+
+    if bias_rows == bh:
+        bias_spec = pl.BlockSpec((row_block, block_q, skv_p),
+                                 lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    elif bias_rows == b:
+        rows_per_b = h // row_block
+        bias_spec = pl.BlockSpec((1, block_q, skv_p),
+                                 lambda i, j: (i // rows_per_b, j, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        bias_spec = pl.BlockSpec((1, block_q, skv_p), lambda i, j: (0, j, 0),
+                                 memory_space=pltpu.VMEM)
 
     grid = (bh // row_block, sq_p // block_q)
     out = pl.pallas_call(
@@ -155,12 +196,7 @@ def _flash_forward(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((row_block, skv_p, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (row_block if bias_bh != 1 else 1, block_q, skv_p),
-                (lambda i, j: (i, j, 0)) if bias_bh != 1
-                else (lambda i, j: (0, j, 0)),
-                memory_space=pltpu.VMEM,
-            ),
+            bias_spec,
         ],
         out_specs=pl.BlockSpec(
             (row_block, block_q, d), lambda i, j: (i, j, 0),
@@ -169,7 +205,7 @@ def _flash_forward(
         out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq_p * skv_p * d,
-            bytes_accessed=(qf.size + kf.size + vf.size) * q.dtype.itemsize,
+            bytes_accessed=(qf.size + kf.size + vf.size) * itemsize,
             transcendentals=bh * sq_p * skv_p,
         ),
     )(qf, kf, vf, biasf)

@@ -28,8 +28,10 @@ def build_corr_pyramid(
 ) -> list[jax.Array]:
     """fmaps (B, H, W, C) -> [ (B, H*W, H/2^i, W/2^i) ] * num_levels."""
     b, h, w, c = fmap1.shape
-    f1 = fmap1.reshape(b, h * w, c).astype(jnp.float32)
-    f2 = fmap2.reshape(b, h * w, c).astype(jnp.float32)
+    # operands keep their compute dtype (bf16 halves the MXU cost of the
+    # (HW)^2 volume); accumulation is f32 via preferred_element_type
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
     corr = jnp.einsum("bqc,bkc->bqk", f1, f2, preferred_element_type=jnp.float32)
     corr = corr / jnp.sqrt(jnp.float32(c))
     corr = corr.reshape(b, h * w, h, w)

@@ -61,13 +61,29 @@ def logical_to_mesh(logical_spec: P, rules=DEFAULT_RULES) -> P:
 
 
 def param_partition_spec(params: Any, rules=DEFAULT_RULES) -> Any:
-    """Pytree of PartitionSpecs from flax ``Partitioned`` metadata."""
+    """Pytree of PartitionSpecs from flax ``Partitioned`` metadata.
+
+    Effectively-rank-1 params (norm scales/biases — "embed" alone, possibly
+    under a scanned "layers" axis) are REPLICATED: fsdp-sharding a vector
+    saves no memory worth having but forces XLA to reshard the surrounding
+    activations every layer (the spmd_partitioner "involuntary full
+    rematerialization" warnings in the r1 multichip dryrun).
+    """
+
+    def one(spec: Any) -> P:
+        if not isinstance(spec, P):
+            return P()
+        if sum(1 for n in spec if n != "layers") <= 1:
+            return P()
+        if "vocab" in spec:
+            # embedding tables shard on vocab only: an embed-sharded lookup
+            # output would immediately reshard to the batch layout (another
+            # r1 involuntary-remat source)
+            spec = P(*[n if n in ("vocab", "layers") else None for n in spec])
+        return logical_to_mesh(spec, rules)
+
     logical = nn.get_partition_spec(params)
-    return jax.tree.map(
-        lambda spec: logical_to_mesh(spec, rules) if isinstance(spec, P) else P(),
-        logical,
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    return jax.tree.map(one, logical, is_leaf=lambda x: isinstance(x, P))
 
 
 def shard_params(params: Any, mesh: Mesh, rules=DEFAULT_RULES) -> Any:
@@ -108,6 +124,33 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 def with_sharding(x: Any, mesh: Mesh, spec: P) -> Any:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def active_mesh() -> Mesh | None:
+    """The mesh installed by a ``with mesh:`` context, if any."""
+    try:
+        from jax.interpreters import pxla
+
+        m = pxla.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
+def constrain_batch(x: Any) -> Any:
+    """Pin an activation's leading axis to the dp(+fsdp) mesh axes.
+
+    No-op without an active mesh context (single-chip, CPU tests). Model code
+    calls this on activations whose sharding XLA would otherwise have to
+    guess — the fix for the spmd_partitioner.cc "involuntary full
+    rematerialization" warnings around the TGB in the r1 multichip dryrun.
+    """
+    mesh = active_mesh()
+    if mesh is None or x.shape[0] % (
+            mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS))))
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -152,7 +152,11 @@ def build_params(args) -> tuple[dict, object]:
             sub = _strip_prefix(sd, src_prefix)
             if sub:
                 flat_updates.update(C.with_subtree(convert_fn(sub), *dst))
-        # backbone under "model." uses the HF names
+        # backbone under "model." uses the HF names — convert the FULL
+        # backbone, exactly as the --backbone_dir branch does: Lightning
+        # checkpoints carry the stage-3-trained query_tokens /
+        # language_projection / language_model (LoRA-merged) weights, and
+        # silently dropping them would serve random heads (ADVICE r1)
         sub = _strip_prefix(sd, "model.")
         if sub:
             # reuse the HF mapping on the embedded state dict
@@ -165,6 +169,26 @@ def build_params(args) -> tuple[dict, object]:
                     bb.qformer.cross_attention_frequency, "qformer.",
                     instruct=(args.backbone == "instructblip")),
                 "model", "qformer"))
+            if "query_tokens" in sub:
+                flat_updates[("model", "query_tokens")] = np.asarray(
+                    sub["query_tokens"])
+            if "language_projection.weight" in sub:
+                flat_updates[("model", "language_projection", "kernel")] = (
+                    np.asarray(sub["language_projection.weight"]).T)
+                flat_updates[("model", "language_projection", "bias")] = (
+                    np.asarray(sub["language_projection.bias"]))
+            if any(k.startswith("language_model.") for k in sub):
+                if args.backbone == "blip2":
+                    flat_updates.update(C.with_subtree(
+                        C.convert_t5(sub, bb.t5.num_encoder_layers,
+                                     bb.t5.num_decoder_layers,
+                                     "language_model."),
+                        "model", "language_model"))
+                else:
+                    flat_updates.update(C.with_subtree(
+                        C.convert_llama(sub, bb.llm.num_layers,
+                                        "language_model."),
+                        "model", "language_model"))
 
     # NOTE: converts to the unscanned (per-layer) layout; scanned runtimes
     # restack with training.convert.stack_layers.

@@ -144,7 +144,9 @@ def evaluate_tg(model, recipe, state, loader, tok) -> dict[str, float]:
     loss_state = M.mean_init()
     for batch in loader:
         db = device_batch(batch)
-        loss, aux = recipe.loss_fn(model, state.params, db, jax.random.key(0))
+        # eval mode: dropout off (reference Lightning validation semantics)
+        loss, aux = recipe.loss_fn(model, state.params, db, jax.random.key(0),
+                                   deterministic=True)
         iou_state = M.iou_update(
             iou_state, aux["start_logits"], aux["end_logits"],
             db["starts"], db["ends"])
@@ -188,7 +190,8 @@ def evaluate_generative(model, recipe, state, loader, tok,
         # generation-only for it (matching eval_forward, which never
         # computes mrc_loss — LSTP_SF_blip2_module.py:382-508)
         if not isinstance(recipe, SFRecipe) or "scores" in db:
-            loss, _ = recipe.loss_fn(model, state.params, db, jax.random.key(0))
+            loss, _ = recipe.loss_fn(model, state.params, db, jax.random.key(0),
+                                     deterministic=True)
             loss_state = M.mean_update(loss_state, loss)
         if model.config.backbone == "blip2":
             tokens, _ = generate_blip2(model, params, db, dcfg, jax.random.key(0))
@@ -267,9 +270,32 @@ def train(cfg: Config) -> dict[str, float]:
     ckpt = CheckpointManager(CheckpointConfig(directory=ckpt_dir,
                                               monitor=tcfg.monitor))
     if cfg.get("ckpt_path"):
-        restored = ckpt.restore(template={"params": state.params})
-        state.params = restored["params"]
-        log.info("resumed from %s", cfg.ckpt_path)
+        from videotgb_tpu.training.checkpoint import resolve_ckpt_path
+
+        root, step = resolve_ckpt_path(str(cfg.ckpt_path))
+        src = (ckpt if os.path.abspath(root) == os.path.abspath(ckpt_dir)
+               else CheckpointManager(CheckpointConfig(directory=root,
+                                                       monitor=tcfg.monitor)))
+        step = step if step is not None else src.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {root}")
+        if "opt_state" in src.item_names(step):
+            # full-state resume: optimizer moments + schedule position
+            # continue exactly (reference trainer.fit(ckpt_path=...) semantics)
+            restored = src.restore(step, template={
+                "params": state.params, "opt_state": state.opt_state,
+                "step": state.step})
+            state.params = restored["params"]
+            state.opt_state = restored["opt_state"]
+            # int() first: the bare array restores replicated over every
+            # local device, which would clash with single-device params
+            state.step = jnp.asarray(int(restored["step"]), jnp.int32)
+            log.info("resumed full train state from %s @ step %d", root, step)
+        else:
+            # params-only source (converted released weights): warm start
+            restored = src.restore(step, template={"params": state.params})
+            state.params = restored["params"]
+            log.info("warm-started params from %s @ step %d", root, step)
 
     def eval_fn(state):
         if cfg.model.get("recipe", "tg") == "tg":
@@ -280,7 +306,9 @@ def train(cfg: Config) -> dict[str, float]:
             max_new_tokens=cfg.model.get("eval_max_new", 16))
 
     def checkpoint_fn(state, metrics):
-        ckpt.save(int(state.step), {"params": state.params}, metrics)
+        ckpt.save(int(state.step),
+                  {"params": state.params, "opt_state": state.opt_state,
+                   "step": state.step}, metrics)
 
     is_sf = cfg.model.get("recipe", "tg") == "sf"
     text_answers: dict[str, list] = {}
@@ -319,7 +347,10 @@ def train(cfg: Config) -> dict[str, float]:
         # (src/train.py:91-98, best_model_path selection)
         best = ckpt.best_step()
         if best is not None:
-            restored = ckpt.restore(best, template={"params": state.params})
+            template = {"params": state.params}
+            if "opt_state" in ckpt.item_names(best):
+                template.update(opt_state=state.opt_state, step=state.step)
+            restored = ckpt.restore(best, template=template)
             from videotgb_tpu.training.trainer import TrainState
 
             best_state = TrainState(restored["params"], None, state.step)

@@ -68,14 +68,17 @@ class TGRecipe:
         return path_freeze_filter(train_prefixes=("temporal_encoder",))
 
     def loss_fn(
-        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array
+        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array,
+        deterministic: bool = False,
     ) -> tuple[jax.Array, dict]:
+        """``deterministic=True`` disables dropout — validation/test must run
+        in eval mode like the reference's Lightning hooks (ADVICE r1)."""
         variables = params if "params" in params else {"params": params}
         _, start_logits, end_logits = model.apply(
             variables, batch["flow"], batch["flow_mask"],
             batch["sampler_question_ids"], batch["sampler_question_mask"],
-            mode=self.mode, deterministic=False,
-            rngs={"dropout": key},
+            mode=self.mode, deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": key},
             method=model.span_logits,
         )
         loss = span_ce_loss(start_logits, end_logits,
@@ -104,7 +107,8 @@ class SFRecipe:
                                                    "of_extractor"))
 
     def loss_fn(
-        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array
+        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array,
+        deterministic: bool = False,
     ) -> tuple[jax.Array, dict]:
         variables = params if "params" in params else {"params": params}
         drop_key, sel_key = jax.random.split(key)
@@ -116,11 +120,9 @@ class SFRecipe:
             # precomputed .npy flow (LSTP_SF_small_module.py:130-139);
             # batch["flow_frames"] (B, L+1, H, W, 3) raw RGB in [0, 255]
             flow = model.apply(variables, batch["flow_frames"],
-                               method=model.compute_flow)[:, 1:]
-            rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
-            rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
+                               method=model.flow_features)
             batch = dict(batch)
-            batch["flow"] = jax.lax.stop_gradient(flow / (rad_max + 1e-5))
+            batch["flow"] = jax.lax.stop_gradient(flow)
 
         # 1) pseudo span from the (host-provided) per-frame scores
         starts_f, ends_f = largest_rectangle_span(batch["scores"])  # 32-frame dom.
@@ -132,7 +134,8 @@ class SFRecipe:
         _, start_logits, end_logits = model.apply(
             variables, batch["flow"], batch["flow_mask"],
             batch["sampler_question_ids"], batch["sampler_question_mask"],
-            mode=self.mode, deterministic=False, rngs={"dropout": drop_key},
+            mode=self.mode, deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": drop_key},
             method=model.span_logits,
         )
         mrc_loss = span_ce_loss(start_logits, end_logits,
@@ -178,14 +181,16 @@ class E2ERecipe:
                              "model/language_model"))
 
     def loss_fn(
-        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array
+        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array,
+        deterministic: bool = False,
     ) -> tuple[jax.Array, dict]:
         variables = params if "params" in params else {"params": params}
         drop_key, sel_key = jax.random.split(key)
         _, start_logits, end_logits = model.apply(
             variables, batch["flow"], batch["flow_mask"],
             batch["sampler_question_ids"], batch["sampler_question_mask"],
-            mode=self.mode, deterministic=False, rngs={"dropout": drop_key},
+            mode=self.mode, deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": drop_key},
             method=model.span_logits,
         )
         cand = model.apply(
@@ -249,8 +254,11 @@ class IVRecipe:
         )
 
     def loss_fn(
-        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array
+        self, model: VideoTGB, params: Any, batch: dict, key: jax.Array,
+        deterministic: bool = False,
     ) -> tuple[jax.Array, dict]:
+        # no dropout in the backbone towers; deterministic accepted for a
+        # uniform recipe interface (eval passes True)
         variables = params if "params" in params else {"params": params}
         lm_loss, logits = _backbone_forward(
             model, variables, batch["frames"], batch, mean_pool=True)

@@ -162,9 +162,11 @@ class Trainer:
             self._build_step()
         batch = shard_batch(batch, self.mesh)
         key = self.rng.fold(int(state.step), "train")
-        params, opt_state, step, metrics = self._train_step(
-            state.params, state.opt_state, state.step, batch, key
-        )
+        # mesh context so in-model constrain_batch() pins activation shardings
+        with self.mesh:
+            params, opt_state, step, metrics = self._train_step(
+                state.params, state.opt_state, state.step, batch, key
+            )
         return TrainState(params, opt_state, step), metrics
 
     # ------------------------------------------------------------------ fit
@@ -179,6 +181,8 @@ class Trainer:
         """``batch_transform(state, batch)`` runs host-side per step with the
         CURRENT params — the hook for the SF pseudo-label scoring pass."""
         cfg = self.config
+        if int(state.step) >= cfg.max_steps:
+            return state  # resumed at/after the horizon: nothing to do
         t0 = time.perf_counter()
         for batch in train_iter:
             if batch_transform is not None:
@@ -196,11 +200,17 @@ class Trainer:
                 log.info("eval @%d: %s", step, eval_metrics)
                 if self.writers is not None:
                     self.writers.log_metrics(eval_metrics, step)
+                if checkpoint_fn is not None:
+                    checkpoint_fn(state, eval_metrics)
                 if self._should_stop(eval_metrics):
                     log.info("early stopping at step %d", step)
                     break
-                if checkpoint_fn is not None:
-                    checkpoint_fn(state, eval_metrics)
+            elif (checkpoint_fn is not None and cfg.checkpoint_every
+                  and step % cfg.checkpoint_every == 0):
+                # periodic save between eval ticks (metrics=None: recorded as
+                # a resume point, never a "best" candidate) — long runs with
+                # sparse evals must still survive preemption
+                checkpoint_fn(state, None)
             if step >= cfg.max_steps:
                 break
         return state
