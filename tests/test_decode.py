@@ -4,6 +4,7 @@ and end-to-end cached greedy vs uncached argmax on a real tiny LLaMA."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from videotgb_tpu.models.llama import LlamaConfig, LlamaModel
 from videotgb_tpu.ops.decode import DecodeConfig, beam_search, decode
@@ -97,6 +98,129 @@ def test_beam_search_beats_greedy_on_trap():
     caches = {"dummy": jnp.zeros((3, 1))}  # b*k = 1*3
     beam_out = beam_search(step_fn, caches, jnp.zeros((1,), jnp.int32), beam_cfg)
     assert beam_out[0].tolist()[:2] == [3, 4]
+
+
+def test_beam_search_retires_early_eos_hypothesis():
+    """Done-hypotheses semantics: a beam that hits EOS early is retired with
+    its score-at-finish and returned over live beams that kept running (HF
+    BeamHypotheses behavior; the pre-fix finalizer only ranked live beams)."""
+    import math
+
+    # t=0: token 2 (p .6) vs token 3 (p .3). t=1: EOS near-certain for every
+    # beam -> both live beams retire. t>=2: flat continuation, so the early
+    # hypothesis can never be beaten and the sample stops before the horizon.
+    def step_fn(tokens, caches, index):
+        first = jnp.log(jnp.asarray([1e-6, 1e-6, 0.6, 0.3] + [1e-6] * (V - 4)))
+        later = jnp.full((V,), -8.0).at[1].set(0.0).at[4].set(-3.0)
+        logits = jnp.where(index == 0, first[None, :], later[None, :])
+        return jnp.broadcast_to(logits, (tokens.shape[0], V)) * 10.0, caches
+
+    cfg = DecodeConfig(max_new_tokens=6, eos_token_id=1, pad_token_id=0,
+                       num_beams=2, length_penalty=1.0)
+    caches = {"dummy": jnp.zeros((2, 1))}
+    out = jax.jit(lambda: beam_search(
+        step_fn, caches, jnp.zeros((1,), jnp.int32), cfg))()
+    assert out.tolist() == [[2, 1, 0, 0, 0, 0]]
+
+
+def _hf_tiny_t5(eos_boost: float):
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+    import torch
+
+    hf_cfg = HFT5Config(
+        vocab_size=384, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=False, dropout_rate=0.0,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(7)
+    hf = T5ForConditionalGeneration(hf_cfg).eval()
+    with torch.no_grad():
+        # make EOS competitive so beams finish at different steps and the
+        # done-hypotheses bookkeeping actually gets exercised
+        hf.lm_head.weight[1] += eos_boost
+    return hf
+
+
+@pytest.mark.parametrize("length_penalty,eos_boost", [(2.0, 0.35), (0.6, 0.3)])
+def test_beam_search_matches_hf_t5_generate(length_penalty, eos_boost):
+    """Golden beam-search parity vs transformers' BeamSearchScorer on a tiny
+    random T5 (reference decodes with num_beams>1 via HF generate,
+    eval/utils/model.py:427-441)."""
+    import dataclasses
+
+    import torch
+    from flax import linen as nn
+
+    from videotgb_tpu.models.t5 import T5Config, T5Model
+    from videotgb_tpu.training import convert as C
+
+    hf = _hf_tiny_t5(eos_boost)
+    cfg = dataclasses.replace(T5Config.tiny(), dtype=jnp.float32,
+                              param_dtype=jnp.float32)
+    model = T5Model(cfg)
+
+    rng = np.random.default_rng(11)
+    b, enc_len, k, max_new = 3, 7, 3, 10
+    enc_ids = rng.integers(2, 300, (b, enc_len))
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.from_numpy(enc_ids), num_beams=k,
+            max_new_tokens=max_new, length_penalty=length_penalty,
+            early_stopping=False, do_sample=False, min_length=0,
+        ).numpy()
+
+    sd = {kk: vv.detach().numpy() for kk, vv in hf.state_dict().items()}
+    params = model.init(jax.random.key(0), jnp.zeros((1, enc_len, 32)),
+                        jnp.ones((1, enc_len)), jnp.zeros((1, 2), jnp.int32))
+    merged = C.merge_into(nn.meta.unbox(params)["params"],
+                          C.convert_t5(sd, 2, 2))
+    params = {"params": merged}
+
+    embeds = model.apply(params, jnp.asarray(enc_ids), method=model.embed)
+    enc_mask = jnp.ones((b, enc_len))
+    enc_hidden = model.apply(params, embeds, enc_mask, method=model.encode)
+    enc_hidden = jnp.repeat(enc_hidden, k, axis=0)
+    enc_mask_bk = jnp.repeat(enc_mask, k, axis=0)
+    bk = b * k
+
+    caches = model.apply(params, bk, max_new, enc_len,
+                         method=model.init_caches)
+
+    def valid(index):
+        return jnp.broadcast_to(
+            (jnp.arange(max_new)[None] <= index).astype(jnp.float32),
+            (bk, max_new))
+
+    start = jnp.zeros((b,), jnp.int32)  # decoder_start_token_id
+    logits0, caches = model.apply(
+        params, jnp.zeros((bk, 1), jnp.int32), enc_hidden, enc_mask_bk,
+        caches=caches, cache_index=jnp.int32(0),
+        cache_positions_valid=valid(0), cross_prefill=True,
+        method=model.decode)
+
+    def step_fn(tokens, caches, index):
+        def replay():
+            return logits0[:, -1].astype(jnp.float32), caches
+
+        def step():
+            logits, new_caches = model.apply(
+                params, tokens, enc_hidden, enc_mask_bk, caches=caches,
+                cache_index=index, cache_positions_valid=valid(index),
+                method=model.decode)
+            return logits[:, -1].astype(jnp.float32), new_caches
+
+        return jax.lax.cond(index == 0, replay, step)
+
+    dcfg = DecodeConfig(max_new_tokens=max_new, eos_token_id=1,
+                        pad_token_id=0, num_beams=k,
+                        length_penalty=length_penalty)
+    got = beam_search(step_fn, caches, start, dcfg)
+    # HF output row = [decoder_start, generated..., pads]
+    expected = hf_out[:, 1:]
+    padded = np.zeros((b, max_new), np.int64)
+    padded[:, :expected.shape[1]] = expected
+    np.testing.assert_array_equal(np.asarray(got), padded)
 
 
 def test_llama_cached_greedy_matches_uncached_argmax():

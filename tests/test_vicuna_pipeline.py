@@ -116,6 +116,26 @@ def test_generate_instructblip_matches_uncached_rollout(vicuna_setup):
     assert tokens[1].tolist() == toks
 
 
+def test_evaluate_generative_scores_instructblip(vicuna_setup):
+    """Vicuna recipes must get a val/score monitor from evaluate_generative
+    (reference eval_forward generates for both backbones,
+    LSTP_module.py:379-408) — not silently skip generation."""
+    import types
+
+    from videotgb_tpu.data.tokenizer import ByteTokenizer
+    from videotgb_tpu.train import evaluate_generative
+    from videotgb_tpu.training.recipes import SFRecipe
+
+    model, params, batch = vicuna_setup
+    host_batch = {k: np.asarray(v) for k, v in batch.items()}
+    host_batch["_text_answer"] = ["a cat", "a dog"]
+    state = types.SimpleNamespace(params=params["params"])
+    out = evaluate_generative(model, SFRecipe(), state, [host_batch],
+                              ByteTokenizer(), max_new_tokens=4)
+    assert "val/score" in out
+    assert 0.0 <= out["val/score"] <= 1.0
+
+
 def test_generate_instructblip_beam(vicuna_setup):
     model, params, batch = vicuna_setup
     dcfg = DecodeConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=0,

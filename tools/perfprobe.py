@@ -238,12 +238,116 @@ def model_probe(batch: int):
            {"batch": batch, "compile_s": round(compile_s, 1)})
 
 
+def pipe_probe(batch: int, max_new: int = 16, flow_frames: int = 4):
+    """Flagship end-to-end segment budget on the real chip: where does the
+    bench's device_batch_ms actually go? Segments: RAFT flow, ViT tower,
+    Q-Former+T5-encode+TGB+selection (prepare), T5 decode loop."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench as B
+    from videotgb_tpu.models.videotgb import (
+        VideoTGB, VideoTGBConfig, generate_blip2, t5_generate_from_encoder)
+    from videotgb_tpu.ops.decode import DecodeConfig
+
+    cfg = B._scan_layers(B._fast_act(B._bf16_params(VideoTGBConfig.flagship())))
+    cfg = dataclasses.replace(
+        cfg, raft=dataclasses.replace(cfg.raft, dtype=jnp.bfloat16))
+    model = VideoTGB(cfg)
+    image = cfg.blip2.vit.image_size
+    fs = cfg.tgb.flow_size
+    key = jax.random.key(0)
+    text_len = 24
+    bd = {
+        "frames": jax.random.uniform(key, (batch, cfg.num_frames, image, image, 3)),
+        "sampler_question_ids": jnp.full((batch, text_len), 200, jnp.int32),
+        "sampler_question_mask": jnp.ones((batch, text_len), jnp.float32),
+        "question_ids": jnp.full((batch, text_len), 200, jnp.int32),
+        "question_mask": jnp.ones((batch, text_len), jnp.float32),
+        "flow_mask": jnp.ones((batch, flow_frames + 2), jnp.float32),
+        "video_length": jnp.full((batch,), flow_frames, jnp.int32),
+    }
+    flow_rgb = jax.random.uniform(
+        key, (batch, flow_frames + 1, fs, fs, 3)) * 255.0
+
+    init_flow = jnp.zeros((1, flow_frames, fs, fs, 2))
+    variables = jax.jit(lambda k: model.init(
+        k, bd["frames"][:1], init_flow, bd["flow_mask"][:1],
+        bd["video_length"][:1], bd["sampler_question_ids"][:1],
+        bd["sampler_question_mask"][:1], bd["question_ids"][:1],
+        bd["question_mask"][:1], k, method=model.init_pipeline))(key)
+    from flax import linen as nn
+
+    params = nn.meta.unbox(variables)
+    jax.block_until_ready(params)
+
+    # segment 1: RAFT flow
+    flow_fn = jax.jit(lambda p, f: jnp.sum(model.apply(
+        p, f, method=model.flow_features).astype(jnp.float32)))
+    _ = np.asarray(flow_fn(params, flow_rgb))
+    report("pipe_raft_flow", timed(lambda f: flow_fn(params, f), flow_rgb),
+           extra={"batch": batch, "pairs": batch * flow_frames})
+
+    flow = jax.jit(lambda p, f: model.apply(
+        p, f, method=model.flow_features))(params, flow_rgb)
+    jax.block_until_ready(flow)
+
+    # segment 2: ViT + Q-Former on the selected-frame slab (fixed selection)
+    nframe = cfg.nframe
+    cand = jnp.tile(jnp.arange(nframe, dtype=jnp.int32)[None], (batch, 1))
+    vit_fn = jax.jit(lambda p, f: jnp.sum(model.apply(
+        p, f, cand, True, method=model.encode_selected).astype(jnp.float32)))
+    _ = np.asarray(vit_fn(params, bd["frames"]))
+    report("pipe_vit_qformer", timed(lambda f: vit_fn(params, f), bd["frames"]),
+           extra={"frames": batch * nframe})
+
+    # segment 3: full prepare (ViT + QFormer + TGB + selection + T5 encode)
+    prep_fn = jax.jit(lambda p, bd, flow, k: jax.tree.map(
+        lambda x: jnp.sum(x.astype(jnp.float32)), model.apply(
+            p, bd["frames"], flow, bd["flow_mask"], bd["video_length"],
+            bd["sampler_question_ids"], bd["sampler_question_mask"],
+            bd["question_ids"], bd["question_mask"], k,
+            method=model.prepare_t5_inference)))
+    _ = jax.tree.leaves(prep_fn(params, bd, flow, key))
+    np.asarray(jax.tree.leaves(prep_fn(params, bd, flow, key))[0])
+    report("pipe_prepare_all", timed(
+        lambda: jax.tree.leaves(prep_fn(params, bd, flow, key))[0]),
+        extra={"batch": batch})
+
+    # segment 4: decode loop given encoder state
+    enc_hidden, enc_mask, _ = jax.jit(lambda p, bd, flow, k: model.apply(
+        p, bd["frames"], flow, bd["flow_mask"], bd["video_length"],
+        bd["sampler_question_ids"], bd["sampler_question_mask"],
+        bd["question_ids"], bd["question_mask"], k,
+        method=model.prepare_t5_inference))(params, bd, flow, key)
+    jax.block_until_ready((enc_hidden, enc_mask))
+    dcfg = DecodeConfig(max_new_tokens=max_new, eos_token_id=-1, pad_token_id=0)
+    dec_fn = jax.jit(lambda p, eh, em, k: t5_generate_from_encoder(
+        model, p, eh, em, dcfg, k))
+    _ = np.asarray(dec_fn(params, enc_hidden, enc_mask, key))
+    report("pipe_t5_decode", timed(
+        lambda: dec_fn(params, enc_hidden, enc_mask, key)),
+        extra={"batch": batch, "max_new": max_new})
+
+    # whole pipeline for cross-check
+    full = jax.jit(lambda p, f, fl, bd, k: generate_blip2(
+        model, p, dict(bd, frames=f, flow=model.apply(
+            p, fl, method=model.flow_features)), dcfg, k)[0])
+    _ = np.asarray(full(params, bd["frames"], flow_rgb, bd, key))
+    report("pipe_full", timed(
+        lambda: full(params, bd["frames"], flow_rgb, bd, key)),
+        extra={"batch": batch})
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["vit", "raft", "model"])
+    ap.add_argument("which", choices=["vit", "raft", "model", "pipe"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--layers", type=int, default=39)
     ap.add_argument("--pairs", type=int, default=32)
+    ap.add_argument("--max_new", type=int, default=16)
     args = ap.parse_args()
     import jax  # noqa: F401  (module-level for timed())
 
@@ -251,5 +355,7 @@ if __name__ == "__main__":
         vit_probe(args.batch, args.layers)
     elif args.which == "raft":
         raft_probe(args.pairs)
+    elif args.which == "pipe":
+        pipe_probe(args.batch, args.max_new)
     else:
         model_probe(args.batch)

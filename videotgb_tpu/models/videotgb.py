@@ -575,8 +575,12 @@ def generate_instructblip(
     if beams > 1:
         llm_cfg = model.config.instructblip.llm
         cache_axis = 1 if llm_cfg.scan_layers else 0
+        # HF normalizes decoder-only beam scores by the full input_ids
+        # length (prompt included), so the penalty offset is the padded
+        # prompt length rather than the encoder-decoder start token's 1
         out = beam_search(step_fn, caches, jnp.zeros((b_orig,), jnp.int32),
-                          decode_config, cache_batch_axis=cache_axis)
+                          decode_config, cache_batch_axis=cache_axis,
+                          penalty_length_offset=s)
     else:
         start = jnp.zeros((b,), jnp.int32)  # placeholder; cond replays t=0
         out = decode(step_fn, caches, start, decode_config, key=decode_key,

@@ -136,6 +136,21 @@ def decode(
     return final_state[4]
 
 
+def _insert_hypothesis(d_scores, d_tokens, d_count, accept, score, hyp, k):
+    """Conditionally insert one hypothesis per sample into the k-slot done
+    set, replacing the current worst (HF BeamHypotheses.add: keep the best k
+    by length-penalized score; empty slots hold NEG_INF so argmin fills them
+    first)."""
+    worst = jnp.argmin(d_scores, axis=1)  # (b,)
+    worst_score = jnp.min(d_scores, axis=1)
+    accept = accept & ((d_count < k) | (score > worst_score))
+    slot = jax.nn.one_hot(worst, k, dtype=jnp.bool_) & accept[:, None]
+    d_scores = jnp.where(slot, score[:, None], d_scores)
+    d_tokens = jnp.where(slot[..., None], hyp[:, None, :], d_tokens)
+    d_count = jnp.minimum(d_count + accept.astype(jnp.int32), k)
+    return d_scores, d_tokens, d_count
+
+
 def beam_search(
     step_fn: StepFn,
     caches: Any,
@@ -143,63 +158,122 @@ def beam_search(
     config: DecodeConfig,
     start_index: jax.Array | int = 0,
     cache_batch_axis: int = 0,
+    penalty_length_offset: int = 1,
 ) -> jax.Array:
-    """Beam search. Caches must already be laid out with batch B*num_beams
-    (tile the batch before building them). Returns (B, max_new_tokens).
+    """Beam search with HF done-hypotheses semantics (transformers
+    BeamSearchScorer / BeamHypotheses, early_stopping=False — the decode
+    config the reference evaluates with, configs/model/LSTP_SF_blip2.yaml:37-44):
+
+    * each step ranks the top 2k candidates of (beam score + logp);
+    * candidates ending in EOS that rank within the top k retire into a
+      per-sample done set, scored sum_logprobs / cur_len**length_penalty at
+      the step they finish (NOT kept alive to the horizon);
+    * the k best non-EOS candidates continue as live beams;
+    * a sample stops once k hypotheses are done and the best live
+      continuation can no longer beat the worst done score;
+    * at the horizon, live beams of unfinished samples join the done set and
+      the best *done* hypothesis is returned — so a beam that finished early
+      with a better normalized score wins over any live beam.
+
+    Caches must already be laid out with batch B*num_beams (tile the batch
+    before building them). Returns (B, max_new_tokens), EOS written at the
+    finishing position, pad after.
 
     ``cache_batch_axis``: which axis of every cache leaf carries the batch
-    (1 for scan_layers models whose caches stack a leading layer axis)."""
+    (1 for scan_layers models whose caches stack a leading layer axis).
+    ``penalty_length_offset``: tokens already in the sequence before the
+    first generated one — 1 for encoder-decoder (the decoder start token),
+    the padded prompt length for decoder-only models (HF normalizes by full
+    input_ids length).
+    """
     cfg = config
     b = start_tokens.shape[0]
     k = cfg.num_beams
     bk = b * k
+    T = cfg.max_new_tokens
     start_index = jnp.asarray(start_index, jnp.int32)
+    batch_iota = jnp.arange(b)
 
-    tokens = jnp.full((bk, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
+    tokens = jnp.full((bk, T), cfg.pad_token_id, jnp.int32)
     # beam 0 active, others -inf so the first expansion seeds distinct tokens
     scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1)), (b,))  # (bk,)
-    finished = jnp.zeros((bk,), jnp.bool_)
     cur = jnp.repeat(start_tokens.astype(jnp.int32), k)
+    d_scores = jnp.full((b, k), NEG_INF, jnp.float32)
+    d_tokens = jnp.full((b, k, T), cfg.pad_token_id, jnp.int32)
+    d_count = jnp.zeros((b,), jnp.int32)
+    b_done = jnp.zeros((b,), jnp.bool_)
 
     def cond(state):
-        t, _, _, finished, _, _ = state
-        return (t < cfg.max_new_tokens) & ~jnp.all(finished)
+        t = state[0]
+        return (t < T) & ~jnp.all(state[8])
 
     def body(state):
-        t, cur, caches, finished, tokens, scores = state
+        t, cur, caches, tokens, scores, d_scores, d_tokens, d_count, b_done = state
         logits, caches = step_fn(cur[:, None], caches, start_index + t)
         logits = logits.astype(jnp.float32)
         logits = apply_repetition_penalty(logits, tokens, cfg.repetition_penalty)
         logp = jax.nn.log_softmax(logits, axis=-1)  # (bk, V)
         v = logp.shape[-1]
-        # finished beams only extend with pad at no cost
-        pad_only = jnp.full((v,), NEG_INF).at[cfg.pad_token_id].set(0.0)
-        logp = jnp.where(finished[:, None], pad_only[None, :], logp)
+        cand = (scores[:, None] + logp).reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * k)  # (b, 2k)
+        src2k = top_idx // v  # source beam within group
+        tok2k = (top_idx % v).astype(jnp.int32)
+        is_eos = tok2k == cfg.eos_token_id
+        pen = jnp.float32(t + penalty_length_offset) ** cfg.length_penalty
 
-        cand = scores[:, None] + logp  # (bk, V)
-        cand = cand.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(cand, k)  # (b, k)
-        beam_idx = top_idx // v  # source beam within group
-        tok_idx = top_idx % v
-        flat_src = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)  # (bk,)
+        # retire EOS candidates ranked within the top k (HF skips lower ranks)
+        for j in range(k):
+            src_j = batch_iota * k + src2k[:, j]
+            hyp_j = tokens[src_j].at[:, t].set(cfg.eos_token_id)  # (b, T)
+            d_scores, d_tokens, d_count = _insert_hypothesis(
+                d_scores, d_tokens, d_count,
+                is_eos[:, j] & ~b_done, top_scores[:, j] / pen, hyp_j, k)
 
-        # reorder everything by chosen source beam
+        # the k best non-EOS candidates continue (2k candidates share at
+        # most k EOS entries — one per source beam — so k always remain)
+        rank_live = jnp.cumsum((~is_eos).astype(jnp.int32), axis=1) - 1
+        sel = []
+        for s in range(k):
+            j_s = jnp.argmax((~is_eos) & (rank_live == s), axis=1)  # (b,)
+            take = lambda a: jnp.take_along_axis(a, j_s[:, None], axis=1)[:, 0]
+            sel.append((take(top_scores), take(src2k), take(tok2k)))
+        new_scores = jnp.stack([s[0] for s in sel], axis=1)  # (b, k)
+        src_sel = jnp.stack([s[1] for s in sel], axis=1)
+        tok_sel = jnp.stack([s[2] for s in sel], axis=1)
+
+        # finished samples freeze: beams stay in place extending with pad
+        beam_iota = jnp.arange(k)[None, :]
+        src_sel = jnp.where(b_done[:, None], beam_iota, src_sel)
+        tok_sel = jnp.where(b_done[:, None], cfg.pad_token_id, tok_sel)
+        new_scores = jnp.where(b_done[:, None], scores.reshape(b, k), new_scores)
+
+        flat_src = (batch_iota[:, None] * k + src_sel).reshape(-1)  # (bk,)
         tokens = tokens[flat_src]
-        finished = finished[flat_src]
         caches = jax.tree.map(
             lambda c: jnp.take(c, flat_src, axis=cache_batch_axis), caches)
-        nxt = tok_idx.reshape(-1).astype(jnp.int32)
-        nxt = jnp.where(finished, cfg.pad_token_id, nxt)
+        nxt = tok_sel.reshape(-1).astype(jnp.int32)
         tokens = tokens.at[:, t].set(nxt)
-        finished = finished | (nxt == cfg.eos_token_id)
-        scores = top_scores.reshape(-1)
-        return t + 1, nxt, caches, finished, tokens, scores
+        scores = new_scores.reshape(-1)
 
-    state = (jnp.int32(0), cur, caches, finished, tokens, scores)
-    t, cur, caches, finished, tokens, scores = jax.lax.while_loop(cond, body, state)
+        # HF BeamHypotheses.is_done (early_stopping=False): stop once no live
+        # continuation can beat the worst of k done hypotheses
+        best_possible = top_scores[:, 0] / pen
+        b_done = b_done | ((d_count >= k) & (jnp.min(d_scores, axis=1) >= best_possible))
+        return t + 1, nxt, caches, tokens, scores, d_scores, d_tokens, d_count, b_done
 
-    # finalize: length-penalized best beam per sample
-    lengths = jnp.sum(tokens != cfg.pad_token_id, axis=-1).astype(jnp.float32)
-    norm = scores / jnp.maximum(lengths, 1.0) ** cfg.length_penalty
-    best = jnp.argmax(norm.reshape(b, k), axis=-1)  # (b,)
-    return tokens.reshape(b, k, -1)[jnp.arange(b), best]
+    state = (jnp.int32(0), cur, caches, tokens, scores,
+             d_scores, d_tokens, d_count, b_done)
+    (t, _, _, tokens, scores, d_scores, d_tokens, d_count, b_done) = (
+        jax.lax.while_loop(cond, body, state))
+
+    # finalize (HF BeamSearchScorer.finalize): live beams of unfinished
+    # samples join the done set at horizon-length-penalized score
+    pen = jnp.float32(t + penalty_length_offset) ** cfg.length_penalty
+    scores_bk = scores.reshape(b, k)
+    tokens_bk = tokens.reshape(b, k, T)
+    for s in range(k):
+        d_scores, d_tokens, d_count = _insert_hypothesis(
+            d_scores, d_tokens, d_count, ~b_done, scores_bk[:, s] / pen,
+            tokens_bk[:, s], k)
+    best = jnp.argmax(d_scores, axis=1)  # (b,)
+    return d_tokens[batch_iota, best]

@@ -167,7 +167,7 @@ def evaluate_generative(model, recipe, state, loader, tok,
     import jax.numpy as jnp
 
     from videotgb_tpu.data.loader import device_batch
-    from videotgb_tpu.models.videotgb import generate_blip2
+    from videotgb_tpu.models.videotgb import generate_blip2, generate_instructblip
     from videotgb_tpu.ops.decode import DecodeConfig
     from videotgb_tpu.training import metrics as M
 
@@ -193,11 +193,18 @@ def evaluate_generative(model, recipe, state, loader, tok,
             loss, _ = recipe.loss_fn(model, state.params, db, jax.random.key(0),
                                      deterministic=True)
             loss_state = M.mean_update(loss_state, loss)
+        # both backbones generate for val/score, matching the reference's
+        # eval_forward (LSTP_module.py:379-408 generates for blip2 AND the
+        # Vicuna instructblip variant) so checkpoint selection never degrades
+        # to loss-only on Vicuna recipes
         if model.config.backbone == "blip2":
             tokens, _ = generate_blip2(model, params, db, dcfg, jax.random.key(0))
-            preds.extend(tok.batch_decode(np.asarray(tokens),
-                                          skip_special_tokens=True))
-            targets.extend(a.replace(" </s>", "") for a in batch["_text_answer"])
+        else:
+            tokens, _ = generate_instructblip(model, params, db, dcfg,
+                                              jax.random.key(0))
+        preds.extend(tok.batch_decode(np.asarray(tokens),
+                                      skip_special_tokens=True))
+        targets.extend(a.replace(" </s>", "") for a in batch["_text_answer"])
     out = {"val/loss": float(M.mean_compute(loss_state))}
     if preds:
         out["val/score"] = M.bleu1(preds, targets)
