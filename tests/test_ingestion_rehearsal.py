@@ -1,0 +1,165 @@
+"""End-to-end weight-ingestion rehearsal (VERDICT round-1 item 8).
+
+Proves the full released-checkpoint path works the day real assets appear:
+synthesize tiny HF-format checkpoints on disk (BLIP2 dir + BERT dir + trained
+sampler.pth + raft.pth, the layout of eval/utils/builder_utils.py:169-187),
+run tools/convert_checkpoint.py -> Orbax, serve that checkpoint through the
+real inference CLI on real videos, then score the JSONL with the offline
+judge — one unbroken chain with a numeric weight-identity check in the middle.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def released_assets(tmp_path_factory):
+    """Tiny 'released checkpoint directory' in the reference's formats."""
+    import sys
+
+    import cv2
+    from transformers import (
+        BertConfig, BertModel, Blip2Config, Blip2ForConditionalGeneration,
+        Blip2QFormerConfig, Blip2VisionConfig, T5Config,
+    )
+
+    root = tmp_path_factory.mktemp("released")
+
+    vision = Blip2VisionConfig(hidden_size=64, intermediate_size=128,
+                               num_hidden_layers=2, num_attention_heads=4,
+                               image_size=56, patch_size=14, hidden_act="gelu",
+                               layer_norm_eps=1e-6)
+    qformer = Blip2QFormerConfig(vocab_size=384, hidden_size=32,
+                                 num_hidden_layers=2, num_attention_heads=2,
+                                 intermediate_size=64, hidden_act="gelu",
+                                 encoder_hidden_size=64,
+                                 cross_attention_frequency=2)
+    text = T5Config(vocab_size=384, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+                    num_layers=2, num_decoder_layers=2,
+                    feed_forward_proj="gated-gelu", tie_word_embeddings=False)
+    blip2 = Blip2ForConditionalGeneration(
+        Blip2Config(vision_config=vision.to_dict(),
+                    qformer_config=qformer.to_dict(),
+                    text_config=text.to_dict(), num_query_tokens=8))
+    blip2.save_pretrained(root / "blip2", safe_serialization=False)
+
+    bert = BertModel(BertConfig(vocab_size=384, hidden_size=32,
+                                num_hidden_layers=4, num_attention_heads=2,
+                                intermediate_size=64,
+                                max_position_embeddings=128))
+    bert.save_pretrained(root / "bert", safe_serialization=False)
+
+    # trained TGB sampler.pth in the reference's RopeBertModel format
+    sys.path.insert(0, "/root/reference")
+    try:
+        import transformers.modeling_utils as mu
+        import transformers.pytorch_utils as ptu
+
+        for name in ("apply_chunking_to_forward",
+                     "find_pruneable_heads_and_indices", "prune_linear_layer"):
+            if not hasattr(mu, name) and hasattr(ptu, name):
+                setattr(mu, name, getattr(ptu, name))
+        from src.models.components.xraft import RAFT as RefRAFT
+        from src.models.components.xropebert import RopeBertModel
+    finally:
+        sys.path.remove("/root/reference")
+
+    sampler_cfg = BertConfig(
+        fusion_layer=2, encoder_width=32, hidden_size=32,
+        num_hidden_layers=4, num_attention_heads=2, intermediate_size=64,
+        vocab_size=384, max_position_embeddings=128, hidden_act="gelu",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    sampler = RopeBertModel(config=sampler_cfg).eval()
+    torch.save(sampler.state_dict(), root / "sampler.pth")
+
+    raft = RefRAFT().eval()
+    torch.save(raft.state_dict(), root / "raft.pth")
+
+    # QA videos + question/answer files (reference inference.py input layout)
+    video_dir = root / "videos"
+    video_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("vid_a", "vid_b"):
+        writer = cv2.VideoWriter(str(video_dir / f"{name}.mp4"),
+                                 cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 64))
+        for _ in range(16):
+            writer.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+        writer.release()
+    (root / "q.json").write_text(json.dumps([
+        {"video_name": "vid_a", "question": "what happens", "question_id": "q1"},
+        {"video_name": "vid_b", "question": "who is there", "question_id": "q2"},
+    ]))
+    (root / "a.json").write_text(json.dumps([
+        {"answer": "a person walks"},
+        {"answer": "a dog"},
+    ]))
+    return root, blip2, sampler
+
+
+def test_ingestion_convert_infer_judge(released_assets, tmp_path):
+    root, blip2, sampler = released_assets
+
+    # ---- stage 1: convert the released checkpoints to Orbax
+    from videotgb_tpu.tools.convert_checkpoint import main as convert_main
+
+    ckpt_dir = convert_main([
+        "--preset", "tiny", "--backbone", "blip2",
+        "--backbone_dir", str(root / "blip2"),
+        "--sampler_path", str(root / "sampler.pth"),
+        "--raft_path", str(root / "raft.pth"),
+        "--flow_size", "224",  # released sampler embeds 224^2 flow patches
+        "--output", str(tmp_path / "orbax"),
+        "--lenient",
+    ])
+
+    # ---- stage 2: the real inference CLI serves the converted checkpoint
+    from videotgb_tpu.evalsuite.inference import load_model, parse_args, run_inference
+
+    args = parse_args([
+        "--model_path", str(ckpt_dir),
+        "--preset", "tiny",
+        "--flow_size", "224",
+        "--video_dir", str(root / "videos"),
+        "--gt_file_question", str(root / "q.json"),
+        "--gt_file_answers", str(root / "a.json"),
+        "--output_dir", str(tmp_path / "out"),
+        "--output_name", "preds",
+        "--batch_size", "2",
+        "--flow_frames", "3",
+        "--max_new_tokens", "4",
+        "--do_sample", "0",
+    ])
+
+    # numeric weight-identity mid-chain check: the served params ARE the
+    # released torch weights (not random init)
+    model, params, cfg = load_model(args)
+    sd = {k: v.detach().numpy() for k, v in blip2.state_dict().items()}
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["model"]["query_tokens"]),
+        sd["query_tokens"], rtol=1e-6)
+    ssd = {k: v.detach().numpy() for k, v in sampler.state_dict().items()}
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["temporal_encoder"]["mrc_head"]["kernel"]),
+        ssd["mrc_head.weight"].T, rtol=1e-6)
+
+    out_path = run_inference(args)
+    rows = [json.loads(l) for l in open(out_path)]
+    assert len(rows) == 2
+    assert set(rows[0]) == {"id", "question", "answer", "pred"}
+
+    # ---- stage 3: offline judge scores the JSONL (resumable protocol)
+    from videotgb_tpu.evalsuite.evaluate import main as judge_main
+
+    stats = judge_main([
+        "--pred_path", str(out_path),
+        "--output_dir", str(tmp_path / "judged"),
+        "--output_json", str(tmp_path / "combined.json"),
+        "--judge", "token_recall",
+        "--num_tasks", "2",
+    ])
+    assert stats["count"] == 2
+    assert 0.0 <= stats["accuracy"] <= 1.0

@@ -274,6 +274,76 @@ def test_tgb_parity_with_reference_ropebert():
     _close(logits, ref_logits.numpy(), atol=5e-4, rtol=5e-4)
 
 
+def test_albert_tgb_parity_with_reference_ropealbert():
+    """Numeric parity of the ALBERT-shared TGB variant vs the mounted
+    xropealbert.RopeAlbertModel (VERDICT round-1 item 9: previously only
+    structurally verified)."""
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as ptu
+
+    for name in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices",
+                 "prune_linear_layer"):
+        if not hasattr(mu, name) and hasattr(ptu, name):
+            setattr(mu, name, getattr(ptu, name))
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from transformers import AlbertConfig
+        from src.models.components.xropealbert import RopeAlbertModel
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove("/root/reference")
+
+    from videotgb_tpu.models.tgb import AlbertTGBConfig, AlbertTGBModel
+
+    ref_cfg = AlbertConfig(
+        vocab_size=384, embedding_size=16, hidden_size=32,
+        num_hidden_layers=4, num_hidden_groups=1, inner_group_num=1,
+        num_attention_heads=2, intermediate_size=64, hidden_act="gelu",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        max_position_embeddings=128, classifier_dropout_prob=0.0,
+    )
+    ref = RopeAlbertModel(config=ref_cfg, add_pooling_layer=False).eval()
+
+    cfg = AlbertTGBConfig(
+        vocab_size=384, embedding_size=16, hidden_size=32, num_layers=4,
+        num_heads=2, intermediate_size=64, act="gelu",
+        max_position_embeddings=128, **F32)
+    model = AlbertTGBModel(cfg)
+
+    rng = np.random.default_rng(8)
+    b, l, t = 2, 3, 5
+    # the reference's TemporalFlowEmbedding hardcodes 224/16 patches
+    flow = rng.standard_normal((b, l, 2, 224, 224)).astype(np.float32)
+    of_mask = np.ones((b, l + 2), np.int64)
+    q_ids = rng.integers(1, 60, (b, t))
+    q_mask = np.ones((b, t), np.int64)
+
+    with torch.no_grad():
+        ref_seq, ref_logits = ref(
+            encoder_embeds=torch.from_numpy(flow),
+            attention_mask=torch.from_numpy(of_mask),
+            encoder_hidden_states=torch.from_numpy(q_ids),
+            encoder_attention_mask=torch.from_numpy(q_mask),
+            mode="multi_modal",
+        )
+
+    flow_j = jnp.asarray(flow.transpose(0, 1, 3, 4, 2))
+    params = model.init(jax.random.key(0), flow_j, jnp.asarray(of_mask),
+                        jnp.asarray(q_ids), jnp.asarray(q_mask),
+                        mode="multi_modal")
+    from flax import linen as nn
+    unboxed = nn.meta.unbox(params)["params"]
+    merged = C.merge_into(
+        unboxed, C.convert_reference_albert_tgb(_sd(ref), 1, 1), strict=False)
+    seq, logits = model.apply({"params": merged}, flow_j, jnp.asarray(of_mask),
+                              jnp.asarray(q_ids), jnp.asarray(q_mask),
+                              mode="multi_modal")
+    _close(seq, ref_seq.numpy(), atol=5e-4, rtol=5e-4)
+    _close(logits, ref_logits.numpy(), atol=5e-4, rtol=5e-4)
+
+
 # -------------------------------------------- RAFT vs the mounted reference
 def test_raft_parity_with_reference():
     sys.path.insert(0, "/root/reference")

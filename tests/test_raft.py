@@ -67,6 +67,57 @@ def test_lookup_identity_coords_center_tap(rng):
     assert float(out[0, 2, 3, 4]) == pytest.approx(float(pyr[0][0, q, 2, 3]), rel=1e-5)
 
 
+def test_fused_lookup_kernel_matches_dense(rng):
+    """The Pallas q-minor lookup (interpret mode on CPU) must reproduce the
+    XLA dense hat-matmul path bit-for-bit in channel order and to float
+    tolerance in value (it is the TPU serving path inside the GRU scan)."""
+    from videotgb_tpu.ops.correlation import lookup_corr_pyramid_dense
+    from videotgb_tpu.ops.correlation_pallas import (
+        build_corr_pyramid_t,
+        lookup_corr_pyramid_interpret,
+        lookup_corr_pyramid_t,
+    )
+
+    b, h, w, c = 2, 8, 8, 16
+    f1 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    pyr = build_corr_pyramid(f1, f2, num_levels=3)
+    pyr_t = build_corr_pyramid_t(f1, f2, num_levels=3)
+    # transposed build == standard build
+    for lvl, (a, bt) in enumerate(zip(pyr, pyr_t)):
+        hl, wl = a.shape[2], a.shape[3]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bt).reshape(b, hl, wl, h * w)
+            .transpose(0, 3, 1, 2), rtol=1e-5, atol=1e-5, err_msg=f"lvl{lvl}")
+
+    coords = jnp.asarray(
+        rng.uniform(-2, 9, (b, h, w, 2)).astype(np.float32))
+    dense = lookup_corr_pyramid_dense(pyr, coords, radius=2)
+    fused = lookup_corr_pyramid_interpret(pyr_t, coords, radius=2)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
+                               rtol=1e-4, atol=1e-4)
+    # the auto dispatcher's CPU fallback agrees too
+    auto = lookup_corr_pyramid_t(pyr_t, coords, radius=2)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(dense),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_raft_fused_lookup_end_to_end_matches_dense(rng):
+    """Full RAFT forward with fused_lookup=True (interpretable CPU kernel not
+    used here — the t-layout + dense fallback) equals the standard path."""
+    import dataclasses
+
+    cfg = RAFTConfig.tiny()
+    img1 = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)), jnp.float32)
+    img2 = jnp.asarray(jnp.roll(img1, 3, axis=2))
+    model_a = RAFT(dataclasses.replace(cfg, fused_lookup=False))
+    model_b = RAFT(dataclasses.replace(cfg, fused_lookup=True))
+    params = model_a.init(jax.random.key(0), img1, img2)
+    fa = np.asarray(model_a.apply(params, img1, img2))
+    fb = np.asarray(model_b.apply(params, img1, img2))
+    np.testing.assert_allclose(fb, fa, rtol=1e-4, atol=1e-4)
+
+
 def test_convex_upsample_constant_flow():
     # constant flow + any mask -> upsampled flow = 8 * constant everywhere
     b, h, w = 1, 3, 4

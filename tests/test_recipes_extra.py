@@ -106,8 +106,15 @@ def test_recipe_registry_complete():
 
 
 def test_albert_tgb_shares_parameters():
-    cfg = dataclasses.replace(TGBConfig.tiny(), share_parameters=True)
-    model = TGBModel(cfg)
+    """The ALBERT TGB variant reuses one layer group's weights at every
+    depth (numeric parity vs the mounted xropealbert is in test_parity.py)."""
+    from videotgb_tpu.models.tgb import AlbertTGBConfig, AlbertTGBModel
+
+    cfg = AlbertTGBConfig(vocab_size=384, embedding_size=16, hidden_size=32,
+                          num_layers=4, num_heads=2, intermediate_size=64,
+                          fusion_layer=2, flow_size=32,
+                          max_position_embeddings=128)
+    model = AlbertTGBModel(cfg)
     b, l, t = 1, 3, 4
     flow = jnp.zeros((b, l, cfg.flow_size, cfg.flow_size, 2))
     fm = jnp.ones((b, l + 2))
@@ -115,14 +122,13 @@ def test_albert_tgb_shares_parameters():
     params = model.init(jax.random.key(0), flow, fm, qi, jnp.ones((b, t)),
                         mode="multi_modal")
     names = set(nn.meta.unbox(params)["params"].keys())
-    assert "shared_layer" in names and "shared_fusion_layer" in names
+    assert "group_0_inner_0" in names
     assert not any(n.startswith("layer_") for n in names)
     seq, logits = model.apply(params, flow, fm, qi, jnp.ones((b, t)),
                               mode="multi_modal")
     assert logits.shape == (b, l, 2)
-    # param count: ~2 layers worth instead of num_layers
-    dense_cfg = TGBConfig.tiny()
-    dense_params = TGBModel(dense_cfg).init(
+    # one shared layer's worth of encoder params instead of num_layers
+    dense_params = TGBModel(TGBConfig.tiny()).init(
         jax.random.key(0), flow, fm, qi, jnp.ones((b, t)), mode="multi_modal")
     n_shared = sum(p.size for p in jax.tree.leaves(params))
     n_dense = sum(p.size for p in jax.tree.leaves(dense_params))

@@ -67,13 +67,13 @@ def report(name, seconds, flops=None, extra=None):
 
 
 # --------------------------------------------------------------------- ViT
-def vit_probe(batch: int, layers: int):
+def vit_probe(batch: int, layers: int, seq: int = 257):
     import jax
     import jax.numpy as jnp
 
     from videotgb_tpu.ops.attention import flash_attention, dot_product_attention
 
-    H, HEADS, D, FF, S = 1408, 16, 88, 6144, 257
+    H, HEADS, D, FF, S = 1408, 16, 88, 6144, seq
     key = jax.random.key(0)
     ks = jax.random.split(key, 8)
     scale = 0.02
@@ -348,11 +348,12 @@ if __name__ == "__main__":
     ap.add_argument("--layers", type=int, default=39)
     ap.add_argument("--pairs", type=int, default=32)
     ap.add_argument("--max_new", type=int, default=16)
+    ap.add_argument("--seq", type=int, default=257)
     args = ap.parse_args()
     import jax  # noqa: F401  (module-level for timed())
 
     if args.which == "vit":
-        vit_probe(args.batch, args.layers)
+        vit_probe(args.batch, args.layers, args.seq)
     elif args.which == "raft":
         raft_probe(args.pairs)
     elif args.which == "pipe":

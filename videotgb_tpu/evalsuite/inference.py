@@ -41,6 +41,12 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", required=True,
                    help="Orbax checkpoint dir, or 'random:<preset>' for smoke")
+    p.add_argument("--preset", default="flagship",
+                   help="VideoTGBConfig preset for checkpoint-dir model_path "
+                        "(tiny/small/flagship)")
+    p.add_argument("--flow_size", type=int, default=None,
+                   help="override cfg.tgb.flow_size (must match the "
+                        "converted checkpoint)")
     p.add_argument("--cache_dir", default="", required=False)
     p.add_argument("--video_dir", required=True)
     p.add_argument("--gt_file_question", required=True)
@@ -89,7 +95,12 @@ def load_model(args):
         preset = args.model_path.split(":", 1)[1]
         cfg = getattr(VideoTGBConfig, preset)("blip2")
     else:
-        cfg = VideoTGBConfig.flagship("blip2")
+        cfg = getattr(VideoTGBConfig, args.preset)("blip2")
+    if getattr(args, "flow_size", None):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, tgb=dataclasses.replace(cfg.tgb, flow_size=args.flow_size))
     if args.lora:
         import dataclasses
 

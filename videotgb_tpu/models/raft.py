@@ -31,6 +31,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from videotgb_tpu.ops.correlation import build_corr_pyramid, lookup_corr_pyramid_dense
+from videotgb_tpu.ops.correlation_pallas import (
+    build_corr_pyramid_t,
+    lookup_corr_pyramid_t,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,6 +45,9 @@ class RAFTConfig:
     context_dim: int = 128
     fnet_dim: int = 256
     iters: int = 20
+    # None = auto: the fused Pallas lookup (ops/correlation_pallas.py) on TPU
+    # backends, the XLA dense hat-matmul path on CPU. Both are exact.
+    fused_lookup: bool | None = None
     dtype: Any = jnp.float32  # flow quality is precision-sensitive
     param_dtype: Any = jnp.float32
 
@@ -197,12 +204,18 @@ class _UpdateIteration(nn.Module):
     whole loop compiles once instead of 20 unrolled copies."""
 
     config: RAFTConfig
+    fused: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         dt = self.config.dtype
         net, coords1, mask, inp, coords0, pyramid = carry
-        corr = lookup_corr_pyramid_dense(list(pyramid), coords1, self.config.corr_radius)
+        if self.fused:
+            corr = lookup_corr_pyramid_t(pyramid, coords1,
+                                         self.config.corr_radius)
+        else:
+            corr = lookup_corr_pyramid_dense(
+                list(pyramid), coords1, self.config.corr_radius)
         flow = coords1 - coords0
         motion = BasicMotionEncoder(self.config, name="encoder")(flow, corr)
         net = SepConvGRU(self.config.hidden_dim, dtype=dt, name="gru")(
@@ -247,7 +260,12 @@ class RAFT(nn.Module):
         fnet = BasicEncoder(cfg.fnet_dim, "instance", dtype=cfg.dtype, name="fnet")
         fmap1 = fnet(image1)
         fmap2 = fnet(image2)
-        pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
+        fused = (cfg.fused_lookup if cfg.fused_lookup is not None
+                 else jax.default_backend() not in ("cpu",))
+        if fused:
+            pyramid = build_corr_pyramid_t(fmap1, fmap2, cfg.corr_levels)
+        else:
+            pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
 
         cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim, "batch",
                             dtype=cfg.dtype, name="cnet")(image1)
@@ -269,5 +287,6 @@ class RAFT(nn.Module):
         )
         mask0 = jnp.zeros((b, h8, w8, 64 * 9), cfg.dtype)
         carry0 = (net, coords0, mask0, inp, coords0, tuple(pyramid))
-        (net, coords1, mask, *_), _ = scan(cfg, name="update_block")(carry0, None)
+        (net, coords1, mask, *_), _ = scan(
+            cfg, fused, name="update_block")(carry0, None)
         return convex_upsample(coords1 - coords0, mask.astype(jnp.float32))

@@ -60,10 +60,6 @@ class TGBConfig:
     flow_size: int = 224
     hidden_dropout: float = 0.1
     layer_norm_eps: float = 1e-12
-    # Albert variant (reference: src/models/components/xropealbert.py —
-    # RopeAlbertModel, the alternate parameter-shared TGB): one set of layer
-    # weights reused across depth (per cross-attention group)
-    share_parameters: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -229,26 +225,163 @@ class TGBModel(nn.Module):
 
         # NOTE: flax creates params lazily per called layer, so initialize
         # with mode="multi_modal" (all layers) and apply with any mode.
-        if cfg.share_parameters:
-            # Albert sharing: one weight set per cross-attention group (the
-            # self-only stack and the fusion stack each share one layer)
-            shared = {
-                False: TGBLayer(cfg, has_cross_attention=False,
-                                name="shared_layer"),
-                True: TGBLayer(cfg, has_cross_attention=True,
-                               name="shared_fusion_layer"),
-            }
-            for i in layer_range:
-                x = shared[i >= cfg.fusion_layer](
-                    x, self_bias, text, text_bias, sincos_self, sincos_cross)
-                x = constrain_batch(x)
-        else:
-            for i in layer_range:
-                x = TGBLayer(cfg, has_cross_attention=(i >= cfg.fusion_layer),
-                             name=f"layer_{i}")(
-                    x, self_bias, text, text_bias, sincos_self, sincos_cross
-                )
-                x = constrain_batch(x)
+        for i in layer_range:
+            x = TGBLayer(cfg, has_cross_attention=(i >= cfg.fusion_layer),
+                         name=f"layer_{i}")(
+                x, self_bias, text, text_bias, sincos_self, sincos_cross
+            )
+            x = constrain_batch(x)
 
         logits = dense(2, ("embed", None), name="mrc_head", **kw)(x[:, 1:-1])
+        return x, logits.astype(jnp.float32)
+
+
+# --------------------------------------------------- ALBERT-shared variant
+@dataclasses.dataclass(frozen=True)
+class AlbertTGBConfig:
+    """RopeAlbertModel hyperparameters (reference:
+    src/models/components/xropealbert.py — the alternate parameter-shared
+    TGB, LSTP_TG_blip2_module.py:94). Differences from the RoPE-BERT TGB:
+
+    * one layer group's weights are reused at every depth (ALBERT sharing);
+    * every layer applies BOTH self- and cross-attention (no fusion gating —
+      mode only selects the depth range, xropealbert.py:611-619);
+    * self-attention carries NO RoPE; cross-attention rotates q by frame
+      positions and k by text positions from fixed sinusoidal tables
+      (xropealbert.py:496-508, 579-604);
+    * text enters at ``embedding_size`` with learned absolute position
+      embeddings, then maps into hidden via embedding_hidden_mapping_in
+      (xropealbert.py:585, 601);
+    * the MRC head is Linear -> ReLU -> Linear (xropealbert.py:801-805).
+    """
+
+    vocab_size: int = 30000
+    embedding_size: int = 128
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    num_hidden_groups: int = 1
+    inner_group_num: int = 1
+    # depth split for the mode ranges (the reference hardcodes 6,
+    # xropealbert.py:611-616)
+    fusion_layer: int = 6
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    patch_size: int = 16
+    flow_size: int = 224
+    act: str = "gelu_new"  # AlbertConfig default hidden_act
+    hidden_dropout: float = 0.0
+    layer_norm_eps: float = 1e-12
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def num_patches(self) -> int:
+        return (self.flow_size // self.patch_size) ** 2
+
+
+class AlbertTGBLayer(nn.Module):
+    """One shared ALBERT layer: post-LN self-attn (no RoPE) -> post-LN
+    cross-attn (RoPE q/k) -> post-LN FFN (xropealbert.py:469-524)."""
+
+    config: AlbertTGBConfig
+
+    @nn.compact
+    def __call__(self, x, self_bias, text, text_bias, sincos_self, sincos_cross):
+        cfg = self.config
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        attn_out, _ = MultiHeadAttention(
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim,
+            name="self_attn", **kw)(x, bias=self_bias)
+        x = LayerNorm(cfg.layer_norm_eps, name="self_ln", **kw)(x + attn_out)
+        cross_out, _ = MultiHeadAttention(
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim,
+            name="cross_attn", **kw)(
+            x, x_kv=text, bias=text_bias,
+            rope_q=lambda t: roformer_rope(t, sincos_self),
+            rope_k=lambda t: roformer_rope(t, sincos_cross))
+        x = LayerNorm(cfg.layer_norm_eps, name="cross_ln", **kw)(x + cross_out)
+        return LayerNorm(cfg.layer_norm_eps, name="ffn_ln", **kw)(
+            x + Mlp(cfg.intermediate_size, act=cfg.act, name="mlp", **kw)(x))
+
+
+class AlbertTGBModel(nn.Module):
+    """forward(flow, flow_mask, question_ids, question_mask, mode) ->
+    (sequence_output (B, L+2, hidden), span_logits (B, L, 2)); numeric match
+    of the mounted RopeAlbertModel (tests/test_parity.py)."""
+
+    config: AlbertTGBConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        flow: jax.Array,  # (B, L, H, W, 2)
+        flow_mask: jax.Array,  # (B, L+2)
+        question_ids: jax.Array,  # (B, T)
+        question_mask: jax.Array | None = None,
+        mode: str = "fusion",
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array]:
+        cfg = self.config
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        l = flow.shape[1]
+        t = question_ids.shape[1]
+
+        x = TemporalOFEmbedding(cfg, name="temporal_embeddings")(
+            flow, flow_mask, deterministic)
+
+        # text at embedding_size with learned absolute positions
+        # (RopeAlbertEmbeddings, xropealbert.py:256-321), then the ALBERT
+        # factorized-embedding mapping into hidden (xropealbert.py:601)
+        tok = embed(cfg.vocab_size, cfg.embedding_size,
+                    name="word_embeddings", **kw)(question_ids)
+        typ = embed(cfg.type_vocab_size, cfg.embedding_size,
+                    name="token_type_embeddings", **kw)(
+            jnp.zeros_like(question_ids))
+        pos = embed(cfg.max_position_embeddings, cfg.embedding_size,
+                    name="position_embeddings", **kw)(jnp.arange(t)[None])
+        text = LayerNorm(cfg.layer_norm_eps, name="text_ln", **kw)(
+            tok + typ + pos)
+        text = nn.Dropout(cfg.hidden_dropout)(text, deterministic=deterministic)
+        text = dense(cfg.hidden_size, ("embed", "embed"),
+                     name="embedding_hidden_mapping_in", **kw)(text)
+
+        self_bias = make_padding_bias(flow_mask)
+        text_bias = (make_padding_bias(question_mask)
+                     if question_mask is not None else None)
+        sincos_self = roformer_sincos_table(l + 2, cfg.head_dim)
+        sincos_cross = roformer_sincos_table(t, cfg.head_dim)
+
+        if mode in ("text", "vision"):
+            layer_range = range(0, cfg.fusion_layer)
+        elif mode == "fusion":
+            layer_range = range(cfg.fusion_layer, cfg.num_layers)
+        elif mode == "multi_modal":
+            layer_range = range(0, cfg.num_layers)
+        else:
+            raise ValueError(f"invalid mode: {mode}")
+
+        # the same module instances are called at every depth -> shared
+        # params (ALBERT); each depth step runs the whole inner group
+        # (xropealbert.py:621-639)
+        groups = [
+            [AlbertTGBLayer(cfg, name=f"group_{g}_inner_{j}")
+             for j in range(cfg.inner_group_num)]
+            for g in range(cfg.num_hidden_groups)
+        ]
+        layers_per_group = cfg.num_layers // cfg.num_hidden_groups
+        for i in layer_range:
+            for layer in groups[i // layers_per_group]:
+                x = layer(x, self_bias, text, text_bias,
+                          sincos_self, sincos_cross)
+
+        h = dense(cfg.hidden_size, ("embed", "embed"),
+                  name="mrc_head_in", **kw)(x[:, 1:-1])
+        logits = dense(2, ("embed", None), name="mrc_head_out",
+                       **kw)(nn.relu(h))
         return x, logits.astype(jnp.float32)

@@ -80,6 +80,13 @@ def build_params(args) -> tuple[dict, object]:
     from videotgb_tpu.training import convert as C
 
     cfg = getattr(VideoTGBConfig, args.preset)(args.backbone)
+    if getattr(args, "flow_size", None):
+        # the released sampler.pth embeds 224^2 flow patches regardless of
+        # preset (xropebert TemporalOFEmbedding hardcodes 224//16 patches)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, tgb=dataclasses.replace(cfg.tgb, flow_size=args.flow_size))
     model = VideoTGB(cfg)
     key = jax.random.key(args.seed)
     image = (cfg.blip2 or cfg.instructblip).vit.image_size
@@ -208,6 +215,9 @@ def main(argv=None) -> str:
     p.add_argument("--lightning_ckpt", default=None)
     p.add_argument("--output", required=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--flow_size", type=int, default=None,
+                   help="override cfg.tgb.flow_size (released sampler.pth "
+                        "is built for 224)")
     p.add_argument("--lenient", action="store_true",
                    help="ignore source entries with no destination")
     args = p.parse_args(argv)

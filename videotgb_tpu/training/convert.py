@@ -243,6 +243,51 @@ def convert_reference_tgb(sd: Mapping, num_layers: int, fusion_layer: int) -> Fl
     return out
 
 
+def convert_reference_albert_tgb(
+    sd: Mapping, num_hidden_groups: int = 1, inner_group_num: int = 1
+) -> Flat:
+    """The reference's RopeAlbertModel state dict
+    (src/models/components/xropealbert.py:784-927, the ALBERT-shared TGB
+    variant) -> models.tgb.AlbertTGBModel params. Sinusoidal position tables
+    (encoder.embed_positions / c_embed_positions) are fixed buffers we
+    recompute on the fly, so they are skipped."""
+    out: Flat = {}
+    te = "temporal_embeddings"
+    _conv(sd, f"{te}.projection", out, (te, "projection"))
+    _lin(sd, f"{te}.proj", out, (te, "fc"))  # Albert names the collapse "proj"
+    out[(te, "bos")] = np.asarray(sd[f"{te}.bos"])
+    out[(te, "eos")] = np.asarray(sd[f"{te}.eos"])
+    _emb(sd, f"{te}.frame_pos_embed", out, (te, "frame_pos_embed"))
+    _ln(sd, f"{te}.ln", out, (te, "ln"))
+
+    _emb(sd, "embeddings.word_embeddings", out, ("word_embeddings",))
+    _emb(sd, "embeddings.token_type_embeddings", out, ("token_type_embeddings",))
+    _emb(sd, "embeddings.position_embeddings", out, ("position_embeddings",))
+    _ln(sd, "embeddings.LayerNorm", out, ("text_ln",))
+    _lin(sd, "encoder.embedding_hidden_mapping_in", out,
+         ("embedding_hidden_mapping_in",))
+
+    for g in range(num_hidden_groups):
+        for j in range(inner_group_num):
+            lp = f"encoder.albert_layer_groups.{g}.albert_layers.{j}."
+            dst = (f"group_{g}_inner_{j}",)
+            for name, hf in (("q", "query"), ("k", "key"), ("v", "value")):
+                _lin(sd, f"{lp}attention.{hf}", out, dst + ("self_attn", name))
+                _lin(sd, f"{lp}crossattention.{hf}", out,
+                     dst + ("cross_attn", name))
+            _lin(sd, f"{lp}attention.dense", out, dst + ("self_attn", "o"))
+            _lin(sd, f"{lp}crossattention.dense", out, dst + ("cross_attn", "o"))
+            _ln(sd, f"{lp}attention.LayerNorm", out, dst + ("self_ln",))
+            _ln(sd, f"{lp}crossattention.LayerNorm", out, dst + ("cross_ln",))
+            _lin(sd, f"{lp}ffn", out, dst + ("mlp", "wi"))
+            _lin(sd, f"{lp}ffn_output", out, dst + ("mlp", "wo"))
+            _ln(sd, f"{lp}full_layer_layer_norm", out, dst + ("ffn_ln",))
+
+    _lin(sd, "mrc_head.0", out, ("mrc_head_in",))
+    _lin(sd, "mrc_head.2", out, ("mrc_head_out",))
+    return out
+
+
 # -------------------------------------------------------------------- RAFT
 def convert_raft(sd: Mapping) -> Flat:
     """raft-sintel.pth (DataParallel prefixes already stripped,
