@@ -280,19 +280,33 @@ def main() -> None:
     sel_frames_np = np.stack([all_u8[i, sel_idx[i]] for i in range(batch)])
     _ = np.asarray(answer(params, jnp.asarray(sel_frames_np), batch_dev, key))
 
-    n_pipe = max(iters, 3)
-    t0 = time.perf_counter()
-    for it in range(n_pipe):
-        k = jax.random.fold_in(key, 2000 + it)
+    # double-buffered: a decode thread prepares batch N+1 while batch N runs
+    # the two device phases + transfers (the main thread is blocked on the
+    # tunnel/device most of the time, freeing the core for cv2)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def decode_batch():
         decoded = [decode_clip_uint8(video_path, num_frames, flow_frames + 1,
                                      image, flow_size) for _ in range(batch)]
-        all_frames = np.stack([d[0] for d in decoded])  # (B, 32, H, W, 3) u8
-        fl = jnp.asarray(np.stack([d[1] for d in decoded]))  # (B, L+1) u8
+        return (np.stack([d[0] for d in decoded]),   # (B, 32, H, W, 3) u8
+                np.stack([d[1] for d in decoded]))   # (B, L+1, hf, wf, 3) u8
+
+    n_pipe = max(iters, 3)
+    prefetcher = ThreadPoolExecutor(1)
+    t0 = time.perf_counter()
+    fut = prefetcher.submit(decode_batch)
+    for it in range(n_pipe):
+        k = jax.random.fold_in(key, 2000 + it)
+        all_frames, fl_np = fut.result()
+        if it + 1 < n_pipe:
+            fut = prefetcher.submit(decode_batch)
+        fl = jnp.asarray(fl_np)
         sel_idx = np.asarray(prep(params, fl, batch_dev, k))  # tiny fetch
         sel = np.stack([all_frames[i, sel_idx[i]] for i in range(batch)])
         tokens = answer(params, jnp.asarray(sel), batch_dev, k)
         _ = np.asarray(tokens)
     pipeline_s = (time.perf_counter() - t0) / n_pipe
+    prefetcher.shutdown(wait=False)
 
     clip_latency_s = device_s / batch + decode_s
     total_frames = batch * num_frames

@@ -249,6 +249,54 @@ def test_flash_attention_cpu_fallback_and_grads(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("bias_kind", ["none", "scalar", "per_batch",
+                                       "per_row", "learned"])
+def test_flash_backward_kernel_matches_xla_vjp(rng, bias_kind):
+    """The fused whole-seq backward kernel (interpret mode) must reproduce
+    the XLA recompute-vjp gradients for every bias broadcast layout,
+    including the learned-bias cotangent reduction (T5 rel-pos bias)."""
+    from videotgb_tpu.ops.attention import _flash_backward_pallas
+
+    b, h, sq, skv, d = 2, 4, 24, 40, 16
+    q = jnp.asarray(rng.standard_normal((b, h, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, skv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, skv, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, h, sq, d)), jnp.float32)
+    scale = d ** -0.5
+
+    if bias_kind == "none":
+        bias = None
+    elif bias_kind == "scalar":
+        bias = make_causal_bias(sq, skv)  # (1, 1, sq, skv)
+    elif bias_kind == "per_batch":
+        mask = jnp.asarray(rng.integers(0, 2, (b, skv)), jnp.float32).at[:, 0].set(1)
+        bias = make_padding_bias(mask)  # (b, 1, 1, skv)
+    elif bias_kind == "per_row":
+        bias = jnp.asarray(rng.standard_normal((b, h, sq, skv)), jnp.float32)
+    else:  # learned (1, h, sq, skv), like T5 relative-position bias
+        bias = jnp.asarray(rng.standard_normal((1, h, sq, skv)), jnp.float32)
+
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda a, b_, c: dot_product_attention(a, b_, c, None, scale),
+            q, k, v)
+        exp = vjp(g) + (None,)
+    else:
+        _, vjp = jax.vjp(
+            lambda a, b_, c, d_: dot_product_attention(a, b_, c, d_, scale),
+            q, k, v, bias)
+        exp = vjp(g)
+
+    got = _flash_backward_pallas(q, k, v, bias, g, scale, interpret=True)
+    names = ("dq", "dk", "dv", "dbias")
+    for name, a, e in zip(names, got, exp):
+        if e is None:
+            assert a is None, name
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_causal_bias_decode_alignment():
     bias = make_causal_bias(1, 5)
     assert np.asarray(bias[0, 0, 0]).tolist() == [0, 0, 0, 0, 0]

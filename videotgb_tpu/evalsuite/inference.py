@@ -199,18 +199,31 @@ def run_inference(args) -> str:
         })
 
     pool = ThreadPoolExecutor(args.decode_workers)
+    prefetcher = ThreadPoolExecutor(1)  # one-batch lookahead
     bsz = args.batch_size
     text_len = 64
     written = 0
-    with open(out_path, "w") as ans_file:
-        for start in range(0, len(samples), bsz):
-            group = samples[start : start + bsz]
-            pad = bsz - len(group)  # static shapes: pad the last batch
-            padded = group + [group[-1]] * pad
 
-            decoded = list(pool.map(
-                lambda s: decode_sample(s["path"], cfg.num_frames,
-                                        args.flow_frames, image, fs), padded))
+    groups = []
+    for start in range(0, len(samples), bsz):
+        group = samples[start : start + bsz]
+        pad = bsz - len(group)  # static shapes: pad the last batch
+        groups.append((start, group, group + [group[-1]] * pad))
+
+    def decode_group(padded):
+        return list(pool.map(
+            lambda s: decode_sample(s["path"], cfg.num_frames,
+                                    args.flow_frames, image, fs), padded))
+
+    # double-buffered host/device pipeline: batch N+1 decodes on threads
+    # while batch N runs flow + generation on device (the host loop below is
+    # mostly blocked on transfers/execution, which frees the core for cv2)
+    next_fut = prefetcher.submit(decode_group, groups[0][2]) if groups else None
+    with open(out_path, "w") as ans_file:
+        for gi, (start, group, padded) in enumerate(groups):
+            decoded = next_fut.result()
+            if gi + 1 < len(groups):
+                next_fut = prefetcher.submit(decode_group, groups[gi + 1][2])
             frames = jnp.asarray(np.stack([d[0] for d in decoded]))
             flow_rgb = jnp.asarray(np.stack([d[1] for d in decoded]))
 

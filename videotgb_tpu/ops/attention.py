@@ -212,6 +212,174 @@ def _flash_forward(
     return out.reshape(b, h, sq_p, d)[:, :, :s_q, :]
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, ds_ref, *, scale: float):
+    """Whole-sequence fused backward for one row slab (rb rows of batch*head).
+
+    Recomputes softmax in f32 from the saved q/k/v/bias (no probabilities or
+    logsumexp stored by the forward), then the standard five-matmul backward:
+      dv = p^T dO;  dp = dO v^T;  ds = p (dp - rowsum(dp p));
+      dq = ds k * scale;  dk = ds^T q * scale.
+    Everything stays VMEM-resident — the XLA recompute-vjp materializes the
+    (Sq, Skv) probability tensor in HBM between ops, which dominates training
+    step time for every tower at production batch sizes.
+    """
+    q = q_ref[:]  # (rb, sq, d)
+    k = k_ref[:]
+    v = v_ref[:]
+    do = do_ref[:]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[...].astype(jnp.float32)  # (rb|1, sq, skv) broadcast
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (rb, sq, skv) f32
+    pb = p.astype(v.dtype)
+    dv = jax.lax.dot_general(
+        pb, do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (rb, skv, d)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (rb, sq, skv)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+    dsb = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        dsb, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # (rb, sq, d)
+    dk = jax.lax.dot_general(
+        dsb, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # (rb, skv, d)
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+    if ds_ref is not None:
+        ds_ref[:] = ds
+
+
+def _flash_backward_pallas(q, k, v, bias, g, scale, interpret=False):
+    """Fused whole-sequence backward. Returns (dq, dk, dv, dbias-or-None).
+
+    Sequences are padded to multiples of 8; padded q/dO rows are zero (their
+    ds vanishes) and padded kv columns carry NEG_INF bias (their p vanishes),
+    so padding contributes exactly nothing to any gradient."""
+    b, h, s_q, d = q.shape
+    s_kv = k.shape[2]
+    bh = b * h
+    need_ds = bias is not None
+    orig_bias_shape = bias.shape if need_ds else None
+    orig_bias_dtype = bias.dtype if need_ds else None
+
+    pad_q = (-s_q) % 8
+    pad_kv = (-s_kv) % 8
+    if bias is None:
+        bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    bias = jnp.broadcast_to(bias, (*bias.shape[:2], s_q, s_kv))
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+    bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad_q), (0, pad_kv)),
+                   constant_values=NEG_INF)
+    sq_p, skv_p = s_q + pad_q, s_kv + pad_kv
+
+    qf = q.reshape(bh, sq_p, d)
+    kf = k.reshape(bh, skv_p, d)
+    vf = v.reshape(bh, skv_p, d)
+    gf = g.reshape(bh, sq_p, d)
+    bias_b, bias_h = bias.shape[0], bias.shape[1]
+    if (bias_b, bias_h) == (1, 1):
+        biasf = bias.reshape(1, sq_p, skv_p)
+    elif bias_h == 1:
+        biasf = bias.reshape(bias_b, sq_p, skv_p)
+    else:
+        biasf = jnp.broadcast_to(
+            bias, (b, h, sq_p, skv_p)).reshape(bh, sq_p, skv_p)
+    bias_rows = biasf.shape[0]
+    itemsize = jnp.dtype(q.dtype).itemsize
+
+    row_block = 1
+    for cand_rb in (16, 8, 4, 2):
+        if bh % cand_rb != 0:
+            continue
+        if bias_rows == b and h % cand_rb != 0:
+            continue
+        vmem_est = (
+            cand_rb * sq_p * skv_p * 4 * (4 + (2 if need_ds else 0))
+            + cand_rb * (sq_p + skv_p) * d * itemsize * 4
+            + sq_p * skv_p * 4
+        )
+        if vmem_est < 24 * 1024 * 1024:
+            row_block = cand_rb
+            break
+
+    if bias_rows == bh:
+        bias_spec = pl.BlockSpec((row_block, sq_p, skv_p), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    elif bias_rows == b:
+        rows_per_b = h // row_block
+        bias_spec = pl.BlockSpec((1, sq_p, skv_p),
+                                 lambda i: (i // rows_per_b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        bias_spec = pl.BlockSpec((1, sq_p, skv_p), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    def rowspec(seq):
+        return pl.BlockSpec((row_block, seq, d), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        jax.ShapeDtypeStruct((bh, skv_p, d), k.dtype),
+        jax.ShapeDtypeStruct((bh, skv_p, d), v.dtype),
+    ]
+    out_specs = [rowspec(sq_p), rowspec(skv_p), rowspec(skv_p)]
+    if need_ds:
+        out_shapes.append(jax.ShapeDtypeStruct((bh, sq_p, skv_p), jnp.float32))
+        out_specs.append(pl.BlockSpec((row_block, sq_p, skv_p),
+                                      lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_flash_bwd_kernel, scale=scale)
+    if not need_ds:
+        def kernel(*refs, _k=functools.partial(_flash_bwd_kernel, scale=scale)):
+            _k(*refs, None)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bh // row_block,),
+        in_specs=[rowspec(sq_p), rowspec(skv_p), rowspec(skv_p), bias_spec,
+                  rowspec(sq_p)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(qf, kf, vf, biasf, gf)
+
+    dq = outs[0].reshape(b, h, sq_p, d)[:, :, :s_q]
+    dk = outs[1].reshape(b, h, skv_p, d)[:, :, :s_kv]
+    dv = outs[2].reshape(b, h, skv_p, d)[:, :, :s_kv]
+    dbias = None
+    if need_ds:
+        ds = outs[3].reshape(b, h, sq_p, skv_p)[:, :, :s_q, :s_kv]
+        # reduce the cotangent over the bias's broadcast dims
+        if orig_bias_shape[0] == 1:
+            ds = jnp.sum(ds, axis=0, keepdims=True)
+        if orig_bias_shape[1] == 1:
+            ds = jnp.sum(ds, axis=1, keepdims=True)
+        if orig_bias_shape[2] == 1:
+            ds = jnp.sum(ds, axis=2, keepdims=True)
+        dbias = ds.astype(orig_bias_dtype)
+    return dq, dk, dv, dbias
+
+
+# whole-seq backward slabs stay VMEM-resident up to this length; longer
+# sequences fall back to the XLA recompute vjp
+_BWD_MAX_SEQ = 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash_attention(q, k, v, bias, scale, block_q, block_kv):
     return _flash_forward(q, k, v, bias, scale, block_q, block_kv)
@@ -223,10 +391,19 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_kv):
 
 
 def _flash_bwd(scale, block_q, block_kv, residuals, g):
-    # Recompute-based backward through the XLA reference implementation:
-    # flash forward saves no probabilities, so grads re-derive them; XLA
-    # fuses this into a tight kernel and it stays exact.
     q, k, v, bias = residuals
+    use_fused = (
+        jax.default_backend() not in ("cpu",)
+        and q.shape[2] <= _BWD_MAX_SEQ
+        and k.shape[2] <= _BWD_MAX_SEQ
+    )
+    if use_fused:
+        dq, dk, dv, dbias = _flash_backward_pallas(q, k, v, bias, g, scale)
+        if bias is None:
+            return dq, dk, dv, None
+        return dq, dk, dv, dbias
+    # Long-sequence fallback: recompute through the XLA reference
+    # implementation (exact; XLA fuses it, but materializes probabilities).
     if bias is None:
         _, vjp = jax.vjp(lambda a, b, c: dot_product_attention(a, b, c, None, scale), q, k, v)
         dq, dk, dv = vjp(g)

@@ -75,7 +75,7 @@ def _lookup_kernel(*refs, sizes, radius):
     off = 0
     for lvl, cref in enumerate(corr_refs):
         hl, wl = sizes[lvl]
-        corr = cref[0].reshape(hl, wl, q)
+        corr2d = cref[0]  # (hl*wl, q); rows y*wl..(y+1)*wl are scanline y
         scale = 1.0 / (2 ** lvl)
 
         # hat weights, window-index layout (pos, k, Q) so the fori loops
@@ -91,12 +91,14 @@ def _lookup_kernel(*refs, sizes, radius):
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - (cx[None, None, :] * scale + ix)))
 
         # static unroll (hl/wl are trace-time constants): Mosaic has no
-        # dynamic_slice on loaded values, and constant-index slices fold
+        # dynamic_slice on loaded values, and constant-index slices fold;
+        # scanline y is a static row slice (a sublane-splitting reshape to
+        # (hl, wl, q) is an unsupported bf16 shape cast)
         tmp = jnp.zeros((wl, k, q), jnp.float32)
         for y in range(hl):
             # (wl, 1, q) * (1, k, q) -> (wl, k, q)
-            tmp = tmp + (corr[y].astype(jnp.float32)[:, None, :]
-                         * wy[y][None, :, :])
+            corr_y = corr2d[y * wl:(y + 1) * wl].astype(jnp.float32)
+            tmp = tmp + corr_y[:, None, :] * wy[y][None, :, :]
         out = jnp.zeros((k, k, q), jnp.float32)
         for x in range(wl):
             # (k_i, 1, q) * (1, k_j, q) -> (k_i, k_j, q)

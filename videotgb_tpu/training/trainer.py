@@ -102,6 +102,7 @@ class Trainer:
             params, self._schedule, cfg.weight_decay, self._filter_fn,
             cfg.max_grad_norm,
         )
+        self._mask = mask
         n_train = sum(
             int(jnp.size(p)) for p, m in zip(
                 jax.tree.leaves(params), jax.tree.leaves(mask)) if m
@@ -117,9 +118,23 @@ class Trainer:
     def _build_step(self):
         cfg = self.config
         accum = cfg.accumulate_grad_batches
+        mask = getattr(self, "_mask", None)
+
+        def loss_with_freeze(params, batch, key):
+            # torch requires_grad=False parity (the reference freezes towers
+            # that way, LSTP_SF_blip2_module.py:663-668): stop_gradient on
+            # frozen leaves lets XLA prune their ENTIRE backward — a frozen
+            # ViT-g costs zero backward FLOPs instead of a full masked-out
+            # gradient pass — and grad-norm/clipping then count trainable
+            # params only, like Lightning's clip over requires_grad params.
+            if mask is not None and not all(jax.tree.leaves(mask)):
+                params = jax.tree.map(
+                    lambda m, p: p if m else jax.lax.stop_gradient(p),
+                    mask, params)
+            return self.loss_fn(params, batch, key)
 
         def single_grad(params, batch, key):
-            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+            (loss, aux), grads = jax.value_and_grad(loss_with_freeze, has_aux=True)(
                 params, batch, key
             )
             return loss, aux, grads
