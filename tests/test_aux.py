@@ -59,6 +59,53 @@ def test_run_sweep_finds_best():
     assert result["best"]["value"] == max(h["value"] for h in result["history"])
 
 
+def test_tpe_concentrates_near_optimum():
+    """The native TPE sampler (Optuna-TPESampler analogue) must focus later
+    trials near the objective's optimum and find a better best than its own
+    startup-random phase would suggest by chance."""
+    import math
+
+    from videotgb_tpu.utils.sweep import tpe_suggest
+
+    def objective(lr):
+        return -abs(math.log10(lr) + 3.0)  # optimum at lr = 1e-3
+
+    def run(sampler):
+        def fake_train(overrides):
+            lr = float([o for o in overrides
+                        if o.startswith("model.lr")][0].split("=")[1])
+            return {"val/score": objective(lr)}
+
+        return run_sweep(
+            base_overrides=[],
+            space={"model.lr": parse_space("loguniform(1e-6,1e-1)")},
+            trials=24, metric="val/score", mode="max", seed=3,
+            train_fn=fake_train, sampler=sampler,
+        )
+
+    result = run(sampler="tpe")
+    assert result["best"]["value"] > -0.5  # within half a decade of 1e-3
+    # the exploitation phase concentrates: the last 8 trials sit closer to
+    # the optimum on average than the first 8 (which include the random
+    # startup trials)
+    vals = [h["value"] for h in result["history"]]
+    assert sum(vals[-8:]) / 8 > sum(vals[:8]) / 8
+
+    # categorical TPE picks the winning branch most of the time
+    def fake_train_cat(overrides):
+        d = [o for o in overrides if o.startswith("model.depth")][0]
+        return {"val/score": 1.0 if d.endswith("=4") else 0.0}
+
+    result = run_sweep(
+        base_overrides=[],
+        space={"model.depth": parse_space("choice(2,4,8)")},
+        trials=20, metric="val/score", mode="max", seed=5,
+        train_fn=fake_train_cat, sampler="tpe",
+    )
+    picks = [h["params"]["model.depth"] for h in result["history"][6:]]
+    assert picks.count(4) > len(picks) // 2
+
+
 def test_process_chunk():
     items = list(range(10))
     chunks = [process_chunk(items, i, 3) for i in range(3)]
