@@ -89,7 +89,11 @@ def _bf16_params(cfg):
         cfg, blip2=blip2, instructblip=iblip, tgb=rep(cfg.tgb))
 
 
-def _scan_layers(cfg):
+def _scan_layers(cfg, towers=("vit", "lm")):
+    """Stack layers with nn.scan for the named towers. Scanning compiles one
+    layer body (~1/depth compile time and HLO size) but pays a per-layer
+    dynamic-slice on the stacked params at runtime — measured 16% slower T5
+    decode at batch 32 — so serving unrolls the LM decoder by default."""
     import dataclasses
 
     def rep(sub):
@@ -97,11 +101,16 @@ def _scan_layers(cfg):
 
     blip2 = cfg.blip2
     if blip2 is not None:
-        blip2 = dataclasses.replace(blip2, vit=rep(blip2.vit), t5=rep(blip2.t5))
+        blip2 = dataclasses.replace(
+            blip2,
+            vit=rep(blip2.vit) if "vit" in towers else blip2.vit,
+            t5=rep(blip2.t5) if "lm" in towers else blip2.t5)
     iblip = cfg.instructblip
     if iblip is not None:
-        iblip = dataclasses.replace(iblip, vit=rep(iblip.vit),
-                                    llm=rep(iblip.llm))
+        iblip = dataclasses.replace(
+            iblip,
+            vit=rep(iblip.vit) if "vit" in towers else iblip.vit,
+            llm=rep(iblip.llm) if "lm" in towers else iblip.llm)
     return dataclasses.replace(cfg, blip2=blip2, instructblip=iblip)
 
 
@@ -156,8 +165,14 @@ def main() -> None:
     else:
         raise SystemExit(f"unknown BENCH_PRESET {preset}")
     cfg = _bf16_params(cfg)  # inference: weights resident in bf16 (HBM fit)
-    if os.environ.get("BENCH_SCAN", "1") == "1":
-        cfg = _scan_layers(cfg)  # scanned towers: ~1/depth compile time
+    # "vit" (default): scan the ViT (fuses BETTER scanned: 503 vs 543 ms)
+    # but unroll the LM decoder (scan's per-layer stacked-param slices cost
+    # 16% of decode); "1" scans both, "0" unrolls both
+    scan_mode = os.environ.get("BENCH_SCAN", "vit")
+    if scan_mode == "1":
+        cfg = _scan_layers(cfg)
+    elif scan_mode == "vit":
+        cfg = _scan_layers(cfg, towers=("vit",))
     if os.environ.get("BENCH_FAST_ACT", "1") == "1":
         cfg = _fast_act(cfg)
     if os.environ.get("BENCH_RAFT_BF16", "1") == "1":
