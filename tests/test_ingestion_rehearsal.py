@@ -73,7 +73,13 @@ def released_assets(tmp_path_factory):
         num_hidden_layers=4, num_attention_heads=2, intermediate_size=64,
         vocab_size=384, max_position_embeddings=128, hidden_act="gelu",
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(11)
     sampler = RopeBertModel(config=sampler_cfg).eval()
+    with torch.no_grad():
+        # bos/eos are torch.empty with reset_parameters commented out in the
+        # reference — uninitialized memory can be NaN
+        sampler.temporal_embeddings.bos.normal_(0, 0.02)
+        sampler.temporal_embeddings.eos.normal_(0, 0.02)
     torch.save(sampler.state_dict(), root / "sampler.pth")
 
     raft = RefRAFT().eval()

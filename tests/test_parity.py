@@ -236,7 +236,13 @@ def test_tgb_parity_with_reference_ropebert():
         vocab_size=384, max_position_embeddings=128, hidden_act="gelu",
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     )
+    torch.manual_seed(9)
     ref = RopeBertModel(config=ref_cfg).eval()
+    # bos/eos are torch.empty with reset_parameters commented out
+    # (xropebert.py) — uninitialized memory can be NaN
+    with torch.no_grad():
+        ref.temporal_embeddings.bos.normal_(0, 0.02)
+        ref.temporal_embeddings.eos.normal_(0, 0.02)
 
     cfg = dataclasses.replace(TGBConfig.tiny(), flow_size=224, **F32)
     model = TGBModel(cfg)
@@ -304,7 +310,14 @@ def test_albert_tgb_parity_with_reference_ropealbert():
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
         max_position_embeddings=128, classifier_dropout_prob=0.0,
     )
+    torch.manual_seed(9)
     ref = RopeAlbertModel(config=ref_cfg, add_pooling_layer=False).eval()
+    # the reference's bos/eos are torch.empty with reset_parameters commented
+    # out (xropealbert.py:91-92,100) — uninitialized memory can be NaN; give
+    # them real values before comparing
+    with torch.no_grad():
+        ref.temporal_embeddings.bos.normal_(0, 0.02)
+        ref.temporal_embeddings.eos.normal_(0, 0.02)
 
     cfg = AlbertTGBConfig(
         vocab_size=384, embedding_size=16, hidden_size=32, num_layers=4,

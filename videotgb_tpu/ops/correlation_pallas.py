@@ -103,7 +103,10 @@ def _lookup_kernel(*refs, sizes, radius):
         for x in range(wl):
             # (k_i, 1, q) * (1, k_j, q) -> (k_i, k_j, q)
             out = out + wx[x][:, None, :] * tmp[x][None, :, :]
-        o_ref[0, off:off + k * k, :] = out.reshape(k * k, q)
+        # write channels-minor: the (q, k*k) transpose happens in VMEM here
+        # instead of as a post-kernel XLA relayout over HBM
+        o_ref[0, :, off:off + k * k] = (
+            out.reshape(k * k, q).T.astype(o_ref.dtype))
         off += k * k
 
 
@@ -133,9 +136,12 @@ def _lookup_pallas(pyramid_t, coords, radius, interpret=False):
         functools.partial(_lookup_kernel, sizes=hw, radius=radius),
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n_levels * k * k, q), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, q, n_levels * k * k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_levels * k * k, q), jnp.float32),
+        # output in the pyramid's dtype: the motion encoder consumes bf16 in
+        # serving, so the f32->bf16 convert + extra HBM pass disappear
+        out_shape=jax.ShapeDtypeStruct((b, q, n_levels * k * k),
+                                       pyramid_t[0].dtype),
         compiler_params=pltpu.CompilerParams(
             # an f32 level-0 block alone is H*W*Q*4 bytes (~2.5 MB at 28^2,
             # double-buffered); the default 16 MB scoped limit is too tight
@@ -144,8 +150,7 @@ def _lookup_pallas(pyramid_t, coords, radius, interpret=False):
         ),
         interpret=interpret,
     )(*pyramid_t, cx, cy)
-    # (B, C, Q) -> (B, H, W, C) channels-last for the motion encoder
-    return out.transpose(0, 2, 1).reshape(b, h, w, n_levels * k * k)
+    return out.reshape(b, h, w, n_levels * k * k)
 
 
 def _dense_from_t(pyramid_t, coords, radius):
