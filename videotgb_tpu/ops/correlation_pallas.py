@@ -78,31 +78,31 @@ def _lookup_kernel(*refs, sizes, radius):
         corr2d = cref[0]  # (hl*wl, q); rows y*wl..(y+1)*wl are scanline y
         scale = 1.0 / (2 ** lvl)
 
-        # hat weights, window-index layout (pos, k, Q) so the fori loops
-        # below index only the major axis
-        # Mosaic iota is integer-only; cast after
-        ys = jax.lax.broadcasted_iota(jnp.int32, (hl, k, q), 0).astype(jnp.float32)
-        jy = (jax.lax.broadcasted_iota(jnp.int32, (hl, k, q), 1)
-              .astype(jnp.float32) - radius)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - (cy[None, None, :] * scale + jy)))
-        xs = jax.lax.broadcasted_iota(jnp.int32, (wl, k, q), 0).astype(jnp.float32)
-        ix = (jax.lax.broadcasted_iota(jnp.int32, (wl, k, q), 1)
-              .astype(jnp.float32) - radius)
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - (cx[None, None, :] * scale + ix)))
+        # window-center grids (k, q): Mosaic iota is integer-only, cast after
+        off_grid = (jax.lax.broadcasted_iota(jnp.int32, (k, q), 0)
+                    .astype(jnp.float32) - radius)
+        cyq = cy[None, :] * scale + off_grid
+        cxq = cx[None, :] * scale + off_grid
 
         # static unroll (hl/wl are trace-time constants): Mosaic has no
         # dynamic_slice on loaded values, and constant-index slices fold;
         # scanline y is a static row slice (a sublane-splitting reshape to
-        # (hl, wl, q) is an unsupported bf16 shape cast)
-        tmp = jnp.zeros((wl, k, q), jnp.float32)
+        # (hl, wl, q) is an unsupported bf16 shape cast).
+        # The window dim k stays MAJOR throughout: the tiled trailing dims
+        # are always (wl|hl, q) — a (.., 9, q) layout would pad sublanes
+        # 9 -> 16 and waste 44% of every FMA.
+        tmp = jnp.zeros((k, wl, q), jnp.float32)
         for y in range(hl):
-            # (wl, 1, q) * (1, k, q) -> (wl, k, q)
-            corr_y = corr2d[y * wl:(y + 1) * wl].astype(jnp.float32)
-            tmp = tmp + corr_y[:, None, :] * wy[y][None, :, :]
+            corr_y = corr2d[y * wl:(y + 1) * wl].astype(jnp.float32)  # (wl, q)
+            wy_y = jnp.maximum(0.0, 1.0 - jnp.abs(y - cyq))  # (k, q)
+            # (k, 1, q) * (1, wl, q) -> (k, wl, q)
+            tmp = tmp + wy_y[:, None, :] * corr_y[None, :, :]
+        tmp = jnp.swapaxes(tmp, 0, 1)  # (wl, k, q): major-dim x slicing
         out = jnp.zeros((k, k, q), jnp.float32)
         for x in range(wl):
+            wx_x = jnp.maximum(0.0, 1.0 - jnp.abs(x - cxq))  # (k_i, q)
             # (k_i, 1, q) * (1, k_j, q) -> (k_i, k_j, q)
-            out = out + wx[x][:, None, :] * tmp[x][None, :, :]
+            out = out + wx_x[:, None, :] * tmp[x][None, :, :]
         # write channels-minor: the (q, k*k) transpose happens in VMEM here
         # instead of as a post-kernel XLA relayout over HBM
         o_ref[0, :, off:off + k * k] = (
