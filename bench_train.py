@@ -103,6 +103,78 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    # ---- SF stage (small preset): the jitted joint step with the frozen
+    # vision tower's backward pruned (trainer stop_gradient split) and the
+    # fused flash-attention backward in the trainable towers
+    sf_batch = int(os.environ.get("SF_BATCH", "8"))
+    from videotgb_tpu.models.videotgb import VideoTGB, VideoTGBConfig
+    from videotgb_tpu.training.recipes import SFRecipe
+    from videotgb_tpu.training.trainer import Trainer, TrainerConfig
+
+    vcfg = VideoTGBConfig.small()
+    vmodel = VideoTGB(vcfg)
+    recipe = SFRecipe()
+    image = vcfg.blip2.vit.image_size
+    fs = vcfg.tgb.flow_size
+    sf_flow_len = 8
+    rng2 = np.random.default_rng(1)
+    sf = {
+        "frames": jnp.asarray(rng2.standard_normal(
+            (sf_batch, vcfg.num_frames, image, image, 3)), jnp.float32),
+        "flow": jnp.asarray(rng2.standard_normal(
+            (sf_batch, sf_flow_len, fs, fs, 2)), jnp.float32),
+        "flow_mask": jnp.ones((sf_batch, sf_flow_len + 2), jnp.float32),
+        "video_length": jnp.full((sf_batch,), sf_flow_len, jnp.int32),
+        "sampler_question_ids": jnp.asarray(
+            rng2.integers(5, 300, (sf_batch, 16)), jnp.int32),
+        "sampler_question_mask": jnp.ones((sf_batch, 16), jnp.float32),
+        "question_ids": jnp.asarray(
+            rng2.integers(5, 300, (sf_batch, 16)), jnp.int32),
+        "question_mask": jnp.ones((sf_batch, 16), jnp.float32),
+        "answer_ids": jnp.asarray(
+            rng2.integers(5, 300, (sf_batch, 8)), jnp.int32),
+        "scores": jnp.asarray(
+            rng2.random((sf_batch, vcfg.num_frames)), jnp.float32),
+    }
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    variables = jax.jit(lambda k: vmodel.init(
+        k, sf["frames"][:1], sf["flow"][:1], sf["flow_mask"][:1],
+        sf["video_length"][:1], sf["sampler_question_ids"][:1],
+        sf["sampler_question_mask"][:1], sf["question_ids"][:1],
+        sf["question_mask"][:1], k, method=vmodel.init_pipeline))(key)
+    sf_params = nn.meta.unbox(variables)["params"]
+    jax.block_until_ready(sf_params)
+    sf_init_s = time.perf_counter() - t0
+
+    tcfg = TrainerConfig(max_steps=100, lr=5e-5)
+    trainer = Trainer(
+        tcfg, lambda p, b, k: recipe.loss_fn(vmodel, p, b, k),
+        filter_fn=recipe.filter_fn)
+    state = trainer.init_state(sf_params)
+
+    t0 = time.perf_counter()
+    state, m = trainer.train_step(state, sf)
+    _ = float(m["loss"])
+    sf_compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        state, m = trainer.train_step(state, sf)
+        _ = float(m["loss"])
+        times.append(time.perf_counter() - t0)
+    sf_step_s = statistics.median(times)
+    print(json.dumps({
+        "metric": "sf_train_examples_per_sec",
+        "value": round(sf_batch / sf_step_s, 1),
+        "unit": "examples/s",
+        "sf_step_ms": round(sf_step_s * 1000, 1),
+        "batch": sf_batch,
+        "preset": "small",
+        "compile_s": round(sf_compile_s, 1),
+        "init_s": round(sf_init_s, 1),
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -178,7 +178,9 @@ def test_trainer_grad_accumulation(mesh8):
     recipe = TGRecipe()
 
     def loss_fn(p, b, key):
-        return recipe.loss_fn(model, p, b, key)
+        loss, aux = recipe.loss_fn(model, p, b, key)
+        # scalar breakdown, like the SF/IVT recipes' mrc_loss/lm_loss
+        return loss, {**aux, "span_loss": loss}
 
     # micro-batch axis: stack the same batch twice -> (2, B, ...)
     stacked = jax.tree.map(lambda x: jnp.stack([x, x]), batch)
@@ -189,3 +191,9 @@ def test_trainer_grad_accumulation(mesh8):
     state, metrics = trainer.train_step(state, stacked)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+    # aux scalar breakdowns survive accumulation (micro-batch mean) — the
+    # IVT recipe trains with accum 4 in the reference and must keep them
+    assert "span_loss" in metrics, metrics.keys()
+    # both micro-batches are identical, so the mean equals the loss
+    np.testing.assert_allclose(float(metrics["span_loss"]),
+                               float(metrics["loss"]), rtol=1e-5)

@@ -151,15 +151,20 @@ class Trainer:
                     loss, aux, grads = single_grad(params, micro, k)
                     acc_grads, acc_loss = carry
                     acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-                    return (acc_grads, acc_loss + loss), None
+                    # scalar aux (mrc_loss/lm_loss breakdowns) stack per
+                    # micro-batch and average below — the IVT recipe (accum 4
+                    # in the reference) must keep its loss breakdown in logs
+                    aux_scalars = {k2: v for k2, v in aux.items()
+                                   if isinstance(v, jax.Array) and v.ndim == 0}
+                    return (acc_grads, acc_loss + loss), aux_scalars
 
                 zero = jax.tree.map(jnp.zeros_like, params)
-                (grads, loss_sum), _ = jax.lax.scan(
+                (grads, loss_sum), aux_stacked = jax.lax.scan(
                     scan_body, (zero, 0.0), (batch, keys)
                 )
                 grads = jax.tree.map(lambda g: g / accum, grads)
                 loss = loss_sum / accum
-                aux = {}
+                aux = {k2: jnp.mean(v) for k2, v in aux_stacked.items()}
             updates, opt_state = self._tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             gnorm = optax.global_norm(grads)
