@@ -8,6 +8,8 @@ XLA collectives on the ICI fabric. We expose three axes:
   dp    — data parallel (batch sharding; grad all-reduce rides psum)
   fsdp  — parameter sharding for the 7B decoder (ZeRO-3-style, all-gather on use)
   tp    — tensor parallel (attention heads / MLP hidden sharded)
+  pp    — pipeline parallel (scanned-tower layer stages; parallel.pipeline
+          streams microbatches between neighbours with ppermute)
 
 Axis sizes multiply to the device count. The default recipe parity layout is
 pure-dp (the reference trains DDPx4); inference of Vicuna-7B uses dp x tp.
@@ -26,7 +28,8 @@ from jax.sharding import Mesh
 DATA_AXIS = "dp"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tp"
-AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+PIPELINE_AXIS = "pp"
+AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, PIPELINE_AXIS)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,9 +39,10 @@ class MeshConfig:
     dp: int = -1
     fsdp: int = 1
     tp: int = 1
+    pp: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        sizes = [self.dp, self.fsdp, self.tp]
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
+        sizes = [self.dp, self.fsdp, self.tp, self.pp]
         wildcard = [i for i, s in enumerate(sizes) if s == -1]
         if len(wildcard) > 1:
             raise ValueError("at most one mesh axis may be -1")
@@ -58,7 +62,7 @@ def create_mesh(
     config: MeshConfig | None = None,
     devices: list | None = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh over the given (default: all) devices.
+    """Build a (dp, fsdp, tp, pp) mesh over the given (default: all) devices.
 
     Device order matters for ICI locality: jax.devices() enumerates in
     torus-contiguous order, and we keep tp innermost so tensor-parallel
@@ -66,10 +70,10 @@ def create_mesh(
     """
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
-    if -1 not in (config.dp, config.fsdp, config.tp):
-        # fully specified layout: use the first dp*fsdp*tp devices (e.g. the
-        # single-device debug trainer on a multi-device host)
-        want = config.dp * config.fsdp * config.tp
+    if -1 not in (config.dp, config.fsdp, config.tp, config.pp):
+        # fully specified layout: use the first dp*fsdp*tp*pp devices (e.g.
+        # the single-device debug trainer on a multi-device host)
+        want = config.dp * config.fsdp * config.tp * config.pp
         if want <= len(devices):
             devices = devices[:want]
     shape = config.resolve(len(devices))

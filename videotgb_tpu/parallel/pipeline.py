@@ -1,0 +1,120 @@
+"""Pipeline parallelism: a GPipe-style pipelined layer scan over a mesh axis.
+
+The reference scales by replicating the whole model per GPU (DDP x4 — its
+only axis). This framework already adds fsdp/tp; this module adds the third
+production axis for deep towers that exceed a chip even sharded: the
+layer-stacked params of a scanned tower (nn.scan's leading layer axis) are
+split into contiguous stages over a ``pp`` mesh axis, and microbatches
+stream through the stages with `ppermute` hops between neighbours
+(the "pipelined scan" recipe of the scaling playbook — bubble fraction
+(S-1)/(M+S-1) for S stages and M microbatches).
+
+`pipeline_apply` is numerically identical to running the full layer stack
+sequentially (verified on the virtual CPU mesh, tests/test_pipeline_parallel.py)
+and differentiable (pure jax: autodiff flows through the collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def pipeline_apply(
+    layer_fn: Callable[[Any, jax.Array], jax.Array],
+    stacked_params: Any,
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "pp",
+    microbatches: int | None = None,
+) -> jax.Array:
+    """Apply L stacked layers to ``x`` pipelined over mesh axis ``axis``.
+
+    layer_fn(params_l, h) -> h applies ONE layer (params_l = the pytree with
+    the leading layer axis removed). ``stacked_params`` leaves have leading
+    dim L with L % pp == 0; stage s owns layers [s*L/pp, (s+1)*L/pp).
+    ``x`` is (B, ...) with B % microbatches == 0; microbatches defaults to
+    the pipeline depth (a reasonable latency/bubble tradeoff).
+
+    Returns the full (B, ...) output, replicated over ``axis``.
+    """
+    pp = mesh.shape[axis]
+    if pp == 1:
+        def body(h, p):
+            return layer_fn(p, h), None
+        out, _ = jax.lax.scan(body, x, stacked_params)
+        return out
+
+    n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
+    if n_layers % pp != 0:
+        raise ValueError(f"{n_layers} layers not divisible by pp={pp}")
+    m = microbatches or pp
+    b = x.shape[0]
+    if b % m != 0:
+        raise ValueError(f"batch {b} not divisible by microbatches={m}")
+    mb = b // m
+
+    # stage-sharded params: leading layer axis split over pp
+    pspec = jax.tree.map(lambda _: P(axis), stacked_params)
+    xspec = P()  # microbatch streaming handles the batch split
+
+    def stage_fn(params_local, x_rep):
+        """Runs on every pp rank; params_local = (L/pp, ...) local layers."""
+        rank = jax.lax.axis_index(axis)
+        micro = x_rep.reshape(m, mb, *x_rep.shape[1:])
+
+        def run_local(h):
+            def body(carry, p):
+                return layer_fn(p, carry), None
+            out, _ = jax.lax.scan(body, h, params_local)
+            return out
+
+        out_buf = jnp.zeros_like(micro)
+        h = jnp.zeros((mb, *x_rep.shape[1:]), x_rep.dtype)
+
+        def step(carry, t):
+            h_in, out_buf = carry
+            # stage 0 ingests microbatch t (garbage past the end is masked
+            # out by the write guard below); later stages use the handoff
+            feed = micro[jnp.minimum(t, m - 1)]
+            h = jnp.where(rank == 0, feed, h_in)
+            h = run_local(h)
+            # the last stage finished microbatch (t - (pp-1)) at step t
+            done_idx = t - (pp - 1)
+            write = (rank == pp - 1) & (done_idx >= 0)
+            updated = jax.lax.dynamic_update_slice_in_dim(
+                out_buf, h[None].astype(out_buf.dtype),
+                jnp.maximum(done_idx, 0), axis=0)
+            out_buf = jnp.where(write, updated, out_buf)
+            # hand my activation to the next stage (ring; the wraparound
+            # last->first edge carries garbage that stage 0 overwrites)
+            h_next = jax.lax.ppermute(
+                h, axis, [(i, (i + 1) % pp) for i in range(pp)])
+            return (h_next, out_buf), None
+
+        # scan (not fori/while): static trip count keeps the whole pipeline
+        # reverse-differentiable
+        (h, out_buf), _ = jax.lax.scan(
+            step, (h, out_buf), jnp.arange(m + pp - 1))
+        # deliver the last stage's outputs to every rank (replicated return)
+        mask = (rank == pp - 1).astype(out_buf.dtype)
+        out_buf = jax.lax.psum(out_buf * mask, axis)
+        return out_buf.reshape(b, *x_rep.shape[1:])
+
+    fn = jax.shard_map(
+        stage_fn, mesh=mesh,
+        in_specs=(pspec, xspec), out_specs=xspec,
+        check_vma=False,
+    )
+    return fn(stacked_params, x)
+
+
+def place_pipeline_params(stacked_params: Any, mesh: Mesh, axis: str = "pp"):
+    """Device-put stacked layer params with the layer axis sharded over
+    ``axis`` (stage s holds its contiguous layer block)."""
+    return jax.tree.map(
+        lambda p: jax.device_put(p, NamedSharding(mesh, P(axis))),
+        stacked_params)
