@@ -1,0 +1,64 @@
+"""Dynamic-batching serving engine: concurrent requests coalesce into fixed
+batches, every future resolves, identical requests in one batch agree, and
+shutdown is clean."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from videotgb_tpu.serve import ServingEngine
+
+    eng = ServingEngine("random:tiny", preset="tiny", batch_size=2,
+                        flow_frames=3, max_new_tokens=4, max_delay_ms=200.0)
+    yield eng
+    eng.close()
+
+
+def _inputs(eng, seed=0):
+    rng = np.random.default_rng(seed)
+    image = eng.cfg.blip2.vit.image_size
+    fs = eng.cfg.tgb.flow_size
+    frames = rng.integers(0, 255, (eng.cfg.num_frames, image, image, 3),
+                          np.uint8)
+    flow = rng.integers(0, 255, (eng.flow_frames + 1, fs, fs, 3), np.uint8)
+    return frames, flow
+
+
+def test_concurrent_requests_all_resolve(engine):
+    futs = []
+    for i in range(5):  # 5 requests, batch_size 2 -> >= 3 device batches
+        frames, flow = _inputs(engine, seed=i)
+        futs.append(engine.submit(frames, flow, f"question {i}?"))
+    replies = [f.result(timeout=600) for f in futs]
+    assert len(replies) == 5
+    for r in replies:
+        assert isinstance(r.answer, str)
+        assert len(r.selected_frames) == engine.cfg.nframe
+        assert all(0 <= i < engine.cfg.num_frames for i in r.selected_frames)
+        assert r.latency_ms > 0
+
+
+def test_identical_requests_in_one_batch_agree(engine):
+    frames, flow = _inputs(engine, seed=42)
+    f1 = engine.submit(frames, flow, "same question?")
+    f2 = engine.submit(frames, flow, "same question?")
+    r1, r2 = f1.result(timeout=600), f2.result(timeout=600)
+    assert r1.answer == r2.answer
+    assert r1.selected_frames == r2.selected_frames
+
+
+def test_single_request_pads_batch(engine):
+    # one request with batch_size 2: the pad row must not leak into replies
+    frames, flow = _inputs(engine, seed=7)
+    r = engine.submit(frames, flow, "lonely request?").result(timeout=600)
+    assert isinstance(r.answer, str)
+
+
+def test_failure_resolves_future(engine):
+    # malformed shapes surface as an exception on the future, not a hang
+    bad = np.zeros((2, 4, 4, 3), np.uint8)
+    fut = engine.submit(bad, bad, "bad?")
+    with pytest.raises(Exception):
+        fut.result(timeout=600)

@@ -1,0 +1,287 @@
+"""Production serving: dynamic request batching over the two-phase pipeline.
+
+The reference serves one request at a time through a gradio callback
+(demo/demo.py); the demo app here mirrors that. This module is the
+production path: concurrent requests stream into a queue, a device worker
+coalesces them into fixed-shape batches (XLA programs are compiled once per
+batch size), runs the bandwidth-aware two-phase pipeline — ship small uint8
+flow frames, run RAFT+TGB+selection on device, fetch the (B, nframe)
+indices, ship only the SELECTED frames for ViT -> Q-Former -> T5 decode —
+and resolves per-request futures.
+
+Batching policy: collect up to ``batch_size`` requests, waiting at most
+``max_delay_ms`` after the first arrival (classic continuous-batching
+latency/throughput knob). Short batches are padded by repeating the last
+request (fixed shapes; pads are dropped before reply).
+
+Usage (library):
+    engine = ServingEngine("random:tiny", batch_size=4)
+    fut = engine.submit_video("clip.mp4", "what happens?")
+    print(fut.result().answer)
+
+Usage (HTTP):
+    python -m videotgb_tpu.serve --model_path ... --port 8000
+    POST /v1/generate  multipart(video=..., question=...)  -> JSON
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Reply:
+    answer: str
+    selected_frames: list[int]
+    latency_ms: float
+
+
+@dataclasses.dataclass
+class _Request:
+    frames_u8: np.ndarray  # (F, H, W, 3) uint8 candidate frames
+    flow_u8: np.ndarray    # (L+1, hf, wf, 3) uint8 flow frames
+    question: str
+    future: Future
+    t_submit: float
+
+
+class ServingEngine:
+    """Dynamically-batched two-phase VideoTGB serving."""
+
+    def __init__(
+        self,
+        model_path: str = "random:tiny",
+        preset: str = "tiny",
+        batch_size: int = 4,
+        flow_frames: int = 4,
+        max_new_tokens: int = 16,
+        max_delay_ms: float = 30.0,
+        text_len: int = 64,
+        seed: int = 0,
+    ):
+        import jax
+
+        from videotgb_tpu.data.tokenizer import load_tokenizer
+        from videotgb_tpu.evalsuite.inference import load_model
+
+        class _Args:
+            pass
+
+        args = _Args()
+        args.model_path = model_path
+        args.preset = preset
+        args.flow_size = None
+        args.lora = 0
+        args.flow_frames = flow_frames
+        self.model, self.params, self.cfg = load_model(args)
+        self.tok = load_tokenizer(None)
+        self.sampler_tok = load_tokenizer(None)
+        self.batch_size = batch_size
+        self.flow_frames = flow_frames
+        self.max_new_tokens = max_new_tokens
+        self.max_delay_s = max_delay_ms / 1000.0
+        self.text_len = text_len
+        self._jax = jax
+        self._key = jax.random.key(seed)
+        self._queue: "queue.Queue[_Request | None]" = queue.Queue()
+        self._build_phases()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- pipeline
+    def _build_phases(self):
+        import jax
+
+        from videotgb_tpu.models.videotgb import (
+            answer_phase_blip2, select_phase_blip2)
+        from videotgb_tpu.ops.decode import DecodeConfig
+
+        dcfg = DecodeConfig(
+            max_new_tokens=self.max_new_tokens,
+            eos_token_id=self.cfg.blip2.t5.eos_token_id,
+            pad_token_id=self.cfg.blip2.t5.pad_token_id,
+        )
+        self._select = jax.jit(
+            lambda p, flow_u8, bd, k: select_phase_blip2(
+                self.model, p, flow_u8, bd, k))
+        self._answer = jax.jit(
+            lambda p, sel, bd, k: answer_phase_blip2(
+                self.model, p, sel, bd, dcfg, k))
+
+    # --------------------------------------------------------------- submit
+    def submit(self, frames_u8: np.ndarray, flow_u8: np.ndarray,
+               question: str) -> Future:
+        """frames_u8 (num_frames, H, W, 3) uint8 at the ViT size; flow_u8
+        (flow_frames+1, hf, wf, 3) uint8 at the TGB flow size."""
+        fut: Future = Future()
+        self._queue.put(_Request(frames_u8, flow_u8, question, fut,
+                                 time.perf_counter()))
+        return fut
+
+    def submit_video(self, video_path: str, question: str) -> Future:
+        """Decode on the caller's thread (IO-bound), then submit."""
+        from videotgb_tpu.data.transforms import resize_video
+        from videotgb_tpu.data.video_io import read_video_cv2, sample_frames
+
+        image = self.cfg.blip2.vit.image_size
+        fs = self.cfg.tgb.flow_size
+        raw, _ = read_video_cv2(video_path, num_frames=self.cfg.num_frames,
+                                size=(max(image, fs),) * 2)
+        flow_ids = sample_frames(self.flow_frames + 1, self.cfg.num_frames)
+        return self.submit(
+            np.ascontiguousarray(resize_video(raw, (image, image))),
+            np.ascontiguousarray(resize_video(raw[flow_ids], (fs, fs))),
+            question)
+
+    # --------------------------------------------------------------- worker
+    def _collect(self) -> list[_Request] | None:
+        """Block for the first request, then soak up to batch_size within
+        max_delay_ms."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        group = [first]
+        deadline = time.perf_counter() + self.max_delay_s
+        while len(group) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # propagate shutdown after this batch
+                break
+            group.append(nxt)
+        return group
+
+    def _run(self):
+        import jax
+        import jax.numpy as jnp
+
+        step = 0
+        while True:
+            group = self._collect()
+            if group is None:
+                return
+            pad = self.batch_size - len(group)
+            padded = group + [group[-1]] * pad
+            try:
+                b = self.batch_size
+                questions = [r.question for r in padded]
+                prompts = [f"USER: <video>\n{q} ASSISTANT: " for q in questions]
+                q_enc = self.tok(prompts, padding="max_length",
+                                 truncation=True, max_length=self.text_len)
+                sq_enc = self.sampler_tok(questions, padding="max_length",
+                                          truncation=True,
+                                          max_length=self.text_len)
+                bd = {
+                    "flow_mask": jnp.ones((b, self.flow_frames + 2)),
+                    "video_length": jnp.full((b,), self.flow_frames, jnp.int32),
+                    "sampler_question_ids": jnp.asarray(
+                        sq_enc["input_ids"], jnp.int32),
+                    "sampler_question_mask": jnp.asarray(
+                        sq_enc["attention_mask"]),
+                    "question_ids": jnp.asarray(q_enc["input_ids"], jnp.int32),
+                    "question_mask": jnp.asarray(q_enc["attention_mask"]),
+                }
+                flow_u8 = jnp.asarray(np.stack([r.flow_u8 for r in padded]))
+                key = jax.random.fold_in(self._key, step)
+                step += 1
+                sel_idx = np.asarray(
+                    self._select(self.params, flow_u8, bd, key))
+                sel = np.stack([padded[i].frames_u8[sel_idx[i]]
+                                for i in range(b)])
+                tokens = np.asarray(
+                    self._answer(self.params, jnp.asarray(sel), bd, key))
+                answers = self.tok.batch_decode(tokens,
+                                                skip_special_tokens=True)
+                now = time.perf_counter()
+                for i, r in enumerate(group):
+                    r.future.set_result(Reply(
+                        answer=answers[i],
+                        selected_frames=[int(x) for x in sel_idx[i]],
+                        latency_ms=round((now - r.t_submit) * 1000, 1)))
+            except Exception as e:  # resolve futures even on failure
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def close(self):
+        self._queue.put(None)
+        self._worker.join(timeout=30)
+
+
+# ------------------------------------------------------------------- HTTP
+def main(argv=None):
+    import base64
+    import os
+    import tempfile
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", default="random:small")
+    p.add_argument("--preset", default="small")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--flow_frames", type=int, default=4)
+    p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--max_delay_ms", type=float, default=30.0)
+    args = p.parse_args(argv)
+
+    engine = ServingEngine(
+        args.model_path, preset=args.preset, batch_size=args.batch_size,
+        flow_frames=args.flow_frames, max_new_tokens=args.max_new_tokens,
+        max_delay_ms=args.max_delay_ms)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            import email
+            from email import policy
+
+            length = int(self.headers["Content-Length"])
+            ctype = self.headers["Content-Type"]
+            body = self.rfile.read(length)
+            msg = email.message_from_bytes(
+                b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body,
+                policy=policy.default)
+            question, video_bytes = "", None
+            for part in msg.iter_parts():
+                name = part.get_param("name", header="content-disposition")
+                if name == "video":
+                    video_bytes = part.get_payload(decode=True)
+                elif name == "question":
+                    question = part.get_content().strip()
+            with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+                f.write(video_bytes)
+                path = f.name
+            try:
+                reply = engine.submit_video(path, question).result(timeout=600)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps(dataclasses.asdict(reply)).encode())
+            finally:
+                os.unlink(path)
+
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"VideoTGB-TPU serving on http://localhost:{args.port}/v1/generate "
+          f"(batch {args.batch_size}, max delay {args.max_delay_ms} ms)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
