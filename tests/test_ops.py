@@ -250,7 +250,7 @@ def test_flash_attention_cpu_fallback_and_grads(rng):
 
 
 @pytest.mark.parametrize("bias_kind", ["none", "scalar", "per_batch",
-                                       "per_row", "learned"])
+                                       "per_row", "learned", "per_query"])
 def test_flash_backward_kernel_matches_xla_vjp(rng, bias_kind):
     """The fused whole-seq backward kernel (interpret mode) must reproduce
     the XLA recompute-vjp gradients for every bias broadcast layout,
@@ -273,6 +273,9 @@ def test_flash_backward_kernel_matches_xla_vjp(rng, bias_kind):
         bias = make_padding_bias(mask)  # (b, 1, 1, skv)
     elif bias_kind == "per_row":
         bias = jnp.asarray(rng.standard_normal((b, h, sq, skv)), jnp.float32)
+    elif bias_kind == "per_query":
+        # broadcast over the KV axis: dbias must reduce dim 3 too
+        bias = jnp.asarray(rng.standard_normal((b, 1, sq, 1)), jnp.float32)
     else:  # learned (1, h, sq, skv), like T5 relative-position bias
         bias = jnp.asarray(rng.standard_normal((1, h, sq, skv)), jnp.float32)
 
@@ -295,6 +298,15 @@ def test_flash_backward_kernel_matches_xla_vjp(rng, bias_kind):
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+    # mask-declared bias: dq/dk/dv unchanged, no ds output computed
+    if bias is not None:
+        got2 = _flash_backward_pallas(q, k, v, bias, g, scale,
+                                      interpret=True, bias_needs_grad=False)
+        assert got2[3] is None
+        for name, a, e in zip(names[:3], got2[:3], exp[:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
 
 
 def test_causal_bias_decode_alignment():

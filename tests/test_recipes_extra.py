@@ -134,6 +134,18 @@ def test_albert_tgb_shares_parameters():
     n_dense = sum(p.size for p in jax.tree.leaves(dense_params))
     assert n_shared < n_dense
 
+    # every param's logical axes must resolve to a VALID PartitionSpec (a
+    # duplicate name like ("embed","embed") raises on NamedSharding)
+    from jax.sharding import NamedSharding
+
+    from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
+    from videotgb_tpu.parallel.sharding import param_partition_spec
+
+    mesh = create_mesh(MeshConfig(dp=-1, fsdp=2, tp=2))
+    specs = param_partition_spec(params["params"])
+    jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                 is_leaf=lambda x: not isinstance(x, dict))
+
 
 def test_ivt_text_only_rows_masked():
     """A width-0 row's loss must be independent of its (zeroed) frames."""

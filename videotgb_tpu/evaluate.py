@@ -57,12 +57,9 @@ def evaluate(cfg: Config) -> dict[str, float]:
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {root}")
-    if "opt_state" in mgr.item_names(step):
-        # full train-state checkpoint: restore params only, skipping the
-        # optimizer payload (partial StandardRestore templates are allowed)
-        restored = mgr.restore(step, template={"params": params})["params"]
-    else:
-        restored = mgr.restore(step, template={"params": params})["params"]
+    # params-only template: full train-state checkpoints skip their
+    # optimizer payload (partial Composite templates are allowed)
+    restored = mgr.restore(step, template={"params": params})["params"]
     state = TrainState(restored, None, jnp.zeros((), jnp.int32))
 
     if cfg.model.get("recipe", "tg") == "tg":

@@ -137,6 +137,10 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_flash: bool = True
+    # False = the additive bias is a constant mask (padding/causal): the
+    # fused flash backward skips materializing its cotangent. Keep True for
+    # learned biases (T5 relative-position).
+    bias_grad: bool = True
     # LoRA on q/v projections (peft parity: r=8, alpha=32 on the LLM towers,
     # reference LSTP_Blip2_IVT_module.py:184-188)
     lora_rank: int = 0
@@ -220,7 +224,8 @@ class MultiHeadAttention(nn.Module):
         scale = self.scale if self.scale is not None else self.head_dim ** -0.5
         small = q.shape[2] * k.shape[2] <= 128 * 128
         if self.use_flash and not small:
-            ctx = flash_attention(q, k, v, bias=bias, scale=scale)
+            ctx = flash_attention(q, k, v, bias=bias, scale=scale,
+                                  bias_needs_grad=self.bias_grad)
         else:
             ctx = dot_product_attention(q, k, v, bias=bias, scale=scale)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(

@@ -95,6 +95,7 @@ class LlamaBlock(nn.Module):
         attn, new_cache = MultiHeadAttention(
             num_heads=cfg.num_heads, head_dim=cfg.head_dim, use_bias=False,
             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+            bias_grad=False,  # causal + padding mask only
             name="attn", **kw,
         )(h, bias=bias, rope_q=rope, rope_k=rope, cache=cache, cache_index=cache_index)
         x = x + attn

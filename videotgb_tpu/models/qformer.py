@@ -80,14 +80,16 @@ class QFormerLayer(nn.Module):
         cfg = self.config
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         attn_out, _ = MultiHeadAttention(
-            num_heads=cfg.num_heads, head_dim=cfg.head_dim, name="self_attn", **kw
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim, bias_grad=False,
+            name="self_attn", **kw
         )(x, bias=self_bias)
         x = LayerNorm(cfg.layer_norm_eps, name="self_ln", **kw)(x + attn_out)
 
         query = x[:, :query_length]
         if self.has_cross_attention and encoder_hidden_states is not None:
             cross_out, _ = MultiHeadAttention(
-                num_heads=cfg.num_heads, head_dim=cfg.head_dim, name="cross_attn", **kw
+                num_heads=cfg.num_heads, head_dim=cfg.head_dim, bias_grad=False,
+                name="cross_attn", **kw
             )(query, x_kv=encoder_hidden_states, bias=encoder_bias)
             query = LayerNorm(cfg.layer_norm_eps, name="cross_ln", **kw)(query + cross_out)
 

@@ -151,14 +151,16 @@ class TGBLayer(nn.Module):
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         rope_self = lambda t: roformer_rope(t, sincos_self)
         attn_out, _ = MultiHeadAttention(
-            num_heads=cfg.num_heads, head_dim=cfg.head_dim, name="self_attn", **kw
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim, bias_grad=False,
+            name="self_attn", **kw
         )(x, bias=self_bias, rope_q=rope_self, rope_k=rope_self)
         x = LayerNorm(cfg.layer_norm_eps, name="self_ln", **kw)(x + attn_out)
 
         if self.has_cross_attention:
             rope_cross = lambda t: roformer_rope(t, sincos_cross)
             cross_out, _ = MultiHeadAttention(
-                num_heads=cfg.num_heads, head_dim=cfg.head_dim, name="cross_attn", **kw
+                num_heads=cfg.num_heads, head_dim=cfg.head_dim, bias_grad=False,
+                name="cross_attn", **kw
             )(x, x_kv=text, bias=text_bias, rope_q=rope_self, rope_k=rope_cross)
             x = LayerNorm(cfg.layer_norm_eps, name="cross_ln", **kw)(x + cross_out)
 
@@ -296,11 +298,11 @@ class AlbertTGBLayer(nn.Module):
         cfg = self.config
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         attn_out, _ = MultiHeadAttention(
-            num_heads=cfg.num_heads, head_dim=cfg.head_dim,
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim, bias_grad=False,
             name="self_attn", **kw)(x, bias=self_bias)
         x = LayerNorm(cfg.layer_norm_eps, name="self_ln", **kw)(x + attn_out)
         cross_out, _ = MultiHeadAttention(
-            num_heads=cfg.num_heads, head_dim=cfg.head_dim,
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim, bias_grad=False,
             name="cross_attn", **kw)(
             x, x_kv=text, bias=text_bias,
             rope_q=lambda t: roformer_rope(t, sincos_self),
@@ -348,7 +350,9 @@ class AlbertTGBModel(nn.Module):
         text = LayerNorm(cfg.layer_norm_eps, name="text_ln", **kw)(
             tok + typ + pos)
         text = nn.Dropout(cfg.hidden_dropout)(text, deterministic=deterministic)
-        text = dense(cfg.hidden_size, ("embed", "embed"),
+        # distinct logical axes — duplicate names would resolve to an invalid
+        # PartitionSpec('fsdp','fsdp') when sharded
+        text = dense(cfg.hidden_size, (None, "embed"),
                      name="embedding_hidden_mapping_in", **kw)(text)
 
         self_bias = make_padding_bias(flow_mask)
@@ -380,7 +384,7 @@ class AlbertTGBModel(nn.Module):
                 x = layer(x, self_bias, text, text_bias,
                           sincos_self, sincos_cross)
 
-        h = dense(cfg.hidden_size, ("embed", "embed"),
+        h = dense(cfg.hidden_size, ("embed", "mlp"),
                   name="mrc_head_in", **kw)(x[:, 1:-1])
         logits = dense(2, ("embed", None), name="mrc_head_out",
                        **kw)(nn.relu(h))

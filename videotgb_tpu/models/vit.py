@@ -119,6 +119,7 @@ class ViTLayer(nn.Module):
             head_dim=cfg.hidden_size // cfg.num_heads,
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
+            bias_grad=False,  # pad-token mask only
             name="attn",
         )(h, bias=bias)
         x = x + attn

@@ -257,16 +257,21 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
         ds_ref[:] = ds
 
 
-def _flash_backward_pallas(q, k, v, bias, g, scale, interpret=False):
+def _flash_backward_pallas(q, k, v, bias, g, scale, interpret=False,
+                           bias_needs_grad=True):
     """Fused whole-sequence backward. Returns (dq, dk, dv, dbias-or-None).
 
     Sequences are padded to multiples of 8; padded q/dO rows are zero (their
     ds vanishes) and padded kv columns carry NEG_INF bias (their p vanishes),
-    so padding contributes exactly nothing to any gradient."""
+    so padding contributes exactly nothing to any gradient.
+
+    ``bias_needs_grad=False`` (mask/causal biases — every tower except T5's
+    learned rel-pos bias) skips the (B*H, Sq, Skv) f32 ds output entirely;
+    the caller gets dbias=None and should return zeros."""
     b, h, s_q, d = q.shape
     s_kv = k.shape[2]
     bh = b * h
-    need_ds = bias is not None
+    need_ds = bias is not None and bias_needs_grad
     orig_bias_shape = bias.shape if need_ds else None
     orig_bias_dtype = bias.dtype if need_ds else None
 
@@ -364,13 +369,10 @@ def _flash_backward_pallas(q, k, v, bias, g, scale, interpret=False):
     dbias = None
     if need_ds:
         ds = outs[3].reshape(b, h, sq_p, skv_p)[:, :, :s_q, :s_kv]
-        # reduce the cotangent over the bias's broadcast dims
-        if orig_bias_shape[0] == 1:
-            ds = jnp.sum(ds, axis=0, keepdims=True)
-        if orig_bias_shape[1] == 1:
-            ds = jnp.sum(ds, axis=1, keepdims=True)
-        if orig_bias_shape[2] == 1:
-            ds = jnp.sum(ds, axis=2, keepdims=True)
+        # reduce the cotangent over ALL of the bias's broadcast dims
+        for axis in range(4):
+            if orig_bias_shape[axis] == 1:
+                ds = jnp.sum(ds, axis=axis, keepdims=True)
         dbias = ds.astype(orig_bias_dtype)
     return dq, dk, dv, dbias
 
@@ -380,17 +382,17 @@ def _flash_backward_pallas(q, k, v, bias, g, scale, interpret=False):
 _BWD_MAX_SEQ = 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attention(q, k, v, bias, scale, block_q, block_kv):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, bias, scale, block_q, block_kv, bias_needs_grad):
     return _flash_forward(q, k, v, bias, scale, block_q, block_kv)
 
 
-def _flash_fwd(q, k, v, bias, scale, block_q, block_kv):
+def _flash_fwd(q, k, v, bias, scale, block_q, block_kv, bias_needs_grad):
     out = _flash_forward(q, k, v, bias, scale, block_q, block_kv)
     return out, (q, k, v, bias)
 
 
-def _flash_bwd(scale, block_q, block_kv, residuals, g):
+def _flash_bwd(scale, block_q, block_kv, bias_needs_grad, residuals, g):
     q, k, v, bias = residuals
     use_fused = (
         jax.default_backend() not in ("cpu",)
@@ -398,9 +400,14 @@ def _flash_bwd(scale, block_q, block_kv, residuals, g):
         and k.shape[2] <= _BWD_MAX_SEQ
     )
     if use_fused:
-        dq, dk, dv, dbias = _flash_backward_pallas(q, k, v, bias, g, scale)
+        dq, dk, dv, dbias = _flash_backward_pallas(
+            q, k, v, bias, g, scale, bias_needs_grad=bias_needs_grad)
         if bias is None:
             return dq, dk, dv, None
+        if dbias is None:
+            # mask/causal bias declared non-differentiable: zero cotangent
+            # (XLA folds the dead zero chain away)
+            dbias = jnp.zeros_like(bias)
         return dq, dk, dv, dbias
     # Long-sequence fallback: recompute through the XLA reference
     # implementation (exact; XLA fuses it, but materializes probabilities).
@@ -424,11 +431,17 @@ def flash_attention(
     block_q: int = 128,
     block_kv: int = 128,
     use_pallas: bool | None = None,
+    bias_needs_grad: bool = True,
 ) -> jax.Array:
     """Flash attention with automatic fallback.
 
     Uses the Pallas kernel on TPU backends; elsewhere (CPU tests) falls back
     to the XLA reference, which is numerically equivalent.
+
+    ``bias_needs_grad=False`` declares the bias a constant mask (padding /
+    causal): the fused backward then skips materializing the full (B*H, Sq,
+    Skv) ds tensor and returns a zero bias cotangent. Leave True for learned
+    biases (T5's relative-position bias).
     """
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     if use_pallas is None:
@@ -449,7 +462,8 @@ def flash_attention(
         block_kv = round8(k.shape[2])
     else:
         block_kv = min(block_kv, round8(k.shape[2]))
-    return _flash_attention(q, k, v, bias, scale, block_q, block_kv)
+    return _flash_attention(q, k, v, bias, scale, block_q, block_kv,
+                            bias_needs_grad)
 
 
 def make_padding_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:

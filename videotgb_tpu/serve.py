@@ -67,7 +67,13 @@ class ServingEngine:
         max_delay_ms: float = 30.0,
         text_len: int = 64,
         seed: int = 0,
+        model_base: str | None = None,
+        sampler_base: str | None = None,
     ):
+        """``model_base``/``sampler_base``: tokenizer dirs for the LLM and
+        the TGB sampler (same knobs as evalsuite/inference.py) — REQUIRED
+        when serving real converted checkpoints; the byte-tokenizer fallback
+        only makes sense for random-weight smoke serving."""
         import jax
 
         from videotgb_tpu.data.tokenizer import load_tokenizer
@@ -83,8 +89,8 @@ class ServingEngine:
         args.lora = 0
         args.flow_frames = flow_frames
         self.model, self.params, self.cfg = load_model(args)
-        self.tok = load_tokenizer(None)
-        self.sampler_tok = load_tokenizer(None)
+        self.tok = load_tokenizer(model_base)
+        self.sampler_tok = load_tokenizer(sampler_base)
         self.batch_size = batch_size
         self.flow_frames = flow_frames
         self.max_new_tokens = max_new_tokens
@@ -237,12 +243,17 @@ def main(argv=None):
     p.add_argument("--flow_frames", type=int, default=4)
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--max_delay_ms", type=float, default=30.0)
+    p.add_argument("--model_base", default=None,
+                   help="LLM tokenizer dir (required for real checkpoints)")
+    p.add_argument("--sampler_base", default=None,
+                   help="TGB sampler tokenizer dir")
     args = p.parse_args(argv)
 
     engine = ServingEngine(
         args.model_path, preset=args.preset, batch_size=args.batch_size,
         flow_frames=args.flow_frames, max_new_tokens=args.max_new_tokens,
-        max_delay_ms=args.max_delay_ms)
+        max_delay_ms=args.max_delay_ms, model_base=args.model_base,
+        sampler_base=args.sampler_base)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -265,6 +276,12 @@ def main(argv=None):
                     video_bytes = part.get_payload(decode=True)
                 elif name == "question":
                     question = part.get_content().strip()
+            if not video_bytes:
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(b'{"error": "missing video part"}')
+                return
             with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
                 f.write(video_bytes)
                 path = f.name
