@@ -194,6 +194,12 @@ def collate_videoinstruct(
         "video_length": lengths,
         "sampler_question_ids": np.asarray(sq["input_ids"], np.int32),
         "sampler_question_mask": np.asarray(sq["attention_mask"], np.int32),
+        # instruction-aware Q-Former text (InstructBLIP variants): the
+        # reference's qformer tokenizer is bert-base-uncased — the same
+        # vocabulary the sampler uses, so one tokenization serves both
+        # (blip2 recipes simply ignore these keys)
+        "qformer_input_ids": np.asarray(sq["input_ids"], np.int32),
+        "qformer_attention_mask": np.asarray(sq["attention_mask"], np.int32),
         "question_ids": np.asarray(q["input_ids"], np.int32),
         "question_mask": np.asarray(q["attention_mask"], np.int32),
         "answer_ids": np.asarray(a["input_ids"], np.int32),
@@ -307,6 +313,7 @@ def collate_iv(
     image_size: int = 224,
     max_txt_len: int = 128,
     answer_len: int = 32,
+    qformer_tokenizer=None,
 ) -> dict[str, np.ndarray]:
     """Static-shape IV/IVT batch: every sample carries an (nframe, H, W, 3)
     frame slab; width < nframe rows repeat their frames (image rows) or zero
@@ -326,7 +333,7 @@ def collate_iv(
                   truncation=True, max_length=max_txt_len)
     a = tokenizer([s["answer"] for s in samples], padding="max_length",
                   truncation=True, max_length=answer_len)
-    return {
+    out = {
         "frames": frames,
         "widths": widths,
         "question_ids": np.asarray(q["input_ids"], np.int32),
@@ -335,3 +342,14 @@ def collate_iv(
         "answer_mask": np.asarray(a["attention_mask"], np.int32),
         "_text_answer": [s["answer"] for s in samples],
     }
+    if qformer_tokenizer is not None:
+        # instruction-aware Q-Former text for the InstructBLIP IV/IVT stages
+        # (reference passes the rendered prompt through the bert-vocab
+        # qformer tokenizer)
+        qf = qformer_tokenizer([s["question"] for s in samples],
+                               padding="max_length", truncation=True,
+                               max_length=max_txt_len)
+        out["qformer_input_ids"] = np.asarray(qf["input_ids"], np.int32)
+        out["qformer_attention_mask"] = np.asarray(
+            qf["attention_mask"], np.int32)
+    return out

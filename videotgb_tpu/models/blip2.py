@@ -34,12 +34,17 @@ class Blip2Config:
     vit: ViTConfig = ViTConfig()
     qformer: QFormerConfig = QFormerConfig()
     t5: T5Config = T5Config()
+    # True = the InstructBLIP-Flan-T5 variant (reference
+    # LSTP_SF_instructblipflant5xl_videoinstruct): same T5 composition but
+    # the Q-Former additionally reads the tokenized question
+    # (instruction-aware, xinstructblip.py:1049)
+    qformer_instruction: bool = False
 
     @classmethod
-    def tiny(cls) -> "Blip2Config":
+    def tiny(cls, qformer_instruction: bool = False) -> "Blip2Config":
         vit = ViTConfig.tiny()
         return cls(vit=vit, qformer=QFormerConfig.tiny(vit.hidden_size),
-                   t5=T5Config.tiny())
+                   t5=T5Config.tiny(), qformer_instruction=qformer_instruction)
 
 
 class Blip2Model(nn.Module):
@@ -67,7 +72,11 @@ class Blip2Model(nn.Module):
         self.language_model = T5Model(cfg.t5, name="language_model")
 
     def encode_frames(
-        self, pixel_values: jax.Array, mean_pool_groups: int | None = None
+        self,
+        pixel_values: jax.Array,
+        mean_pool_groups: int | None = None,
+        qformer_input_ids: jax.Array | None = None,  # (N, Tq) instruction
+        qformer_attention_mask: jax.Array | None = None,
     ) -> jax.Array:
         """pixel_values (N, H, W, 3) -> visual tokens.
 
@@ -76,6 +85,8 @@ class Blip2Model(nn.Module):
         mean_pool_groups=B: frames grouped as (B, N/B) and Q-Former outputs
         mean-pooled over each group -> (B, 32, d_model) — the inference path
         (eval/utils/model.py:394-401).
+        ``qformer_input_ids`` engages the instruction-aware Q-Former path
+        (the InstructBLIP-Flan-T5 variant, cfg.qformer_instruction).
         """
         image_embeds = self.vision_model(pixel_values)
         n = image_embeds.shape[0]
@@ -83,7 +94,10 @@ class Blip2Model(nn.Module):
             self.query_tokens.astype(self.config.qformer.dtype),
             (n, *self.query_tokens.shape[1:]),
         )
-        query_out = self.qformer(query, image_embeds)
+        query_out = self.qformer(
+            query, image_embeds,
+            input_ids=qformer_input_ids, attention_mask=qformer_attention_mask,
+        )
         if mean_pool_groups is not None:
             b = mean_pool_groups
             query_out = query_out.reshape(b, n // b, *query_out.shape[1:]).mean(axis=1)
@@ -121,6 +135,8 @@ class Blip2Model(nn.Module):
         answer_mask: jax.Array | None = None,
         mean_pool: bool = False,
         visual_valid: jax.Array | None = None,  # (B,) 0 = text-only row
+        qformer_input_ids: jax.Array | None = None,  # (B, Tq) instruction
+        qformer_attention_mask: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Training loss pass -> (scalar CE loss, logits).
 
@@ -130,9 +146,17 @@ class Blip2Model(nn.Module):
         """
         cfg = self.config
         b, f = pixel_values.shape[:2]
+        qf_kwargs = {}
+        if qformer_input_ids is not None:
+            qf_kwargs = dict(
+                qformer_input_ids=jnp.repeat(qformer_input_ids, f, axis=0),
+                qformer_attention_mask=(
+                    jnp.repeat(qformer_attention_mask, f, axis=0)
+                    if qformer_attention_mask is not None else None))
         visual = self.encode_frames(
             pixel_values.reshape(b * f, *pixel_values.shape[2:]),
             mean_pool_groups=b if mean_pool else None,
+            **qf_kwargs,
         )
         if not mean_pool:
             visual = visual.reshape(b, f * visual.shape[1], -1)

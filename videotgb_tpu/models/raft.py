@@ -258,8 +258,12 @@ class RAFT(nn.Module):
         image2 = 2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0
 
         fnet = BasicEncoder(cfg.fnet_dim, "instance", dtype=cfg.dtype, name="fnet")
-        fmap1 = fnet(image1)
-        fmap2 = fnet(image2)
+        # one batched pass over both images (the reference's
+        # fnet([image1, image2]), xraft.py:118) — instance norm is per-image
+        # so results are identical, and the conv pipeline runs once at 2x
+        # batch instead of twice
+        both = fnet(jnp.concatenate([image1, image2], axis=0))
+        fmap1, fmap2 = jnp.split(both, 2, axis=0)
         fused = (cfg.fused_lookup if cfg.fused_lookup is not None
                  else jax.default_backend() not in ("cpu",))
         if fused:

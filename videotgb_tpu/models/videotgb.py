@@ -70,9 +70,13 @@ class VideoTGBConfig:
         tgb = TGBConfig(hidden_size=256, num_layers=4, num_heads=8,
                         intermediate_size=512, fusion_layer=2,
                         encoder_width=256)
+        instr_t5 = backbone == "instructblip_t5"
+        if instr_t5:
+            backbone = "blip2"
         return cls(
             backbone=backbone,
-            blip2=Blip2Config(vit=vit, qformer=qf, t5=t5)
+            blip2=Blip2Config(vit=vit, qformer=qf, t5=t5,
+                              qformer_instruction=instr_t5)
             if backbone == "blip2" else None,
             instructblip=InstructBlipConfig(vit=vit, qformer=qf, llm=llm)
             if backbone == "instructblip" else None,
@@ -86,7 +90,13 @@ class VideoTGBConfig:
     def flagship(cls, backbone: str = "blip2") -> "VideoTGBConfig":
         """Production scale: ViT-g + Q-Former + Flan-T5-xl (or Vicuna-7B) +
         TGB(BERT-base) + RAFT — the reference's released model sizes
-        (README.md:159-161)."""
+        (README.md:159-161). backbone "instructblip_t5" =
+        InstructBLIP-Flan-T5-xl: the T5 composition with the
+        instruction-aware Q-Former (reference
+        LSTP_SF_instructblipflant5xl_videoinstruct)."""
+        if backbone == "instructblip_t5":
+            return cls(backbone="blip2",
+                       blip2=Blip2Config(qformer_instruction=True))
         return cls(
             backbone=backbone,
             blip2=Blip2Config() if backbone == "blip2" else None,
@@ -96,9 +106,13 @@ class VideoTGBConfig:
 
     @classmethod
     def tiny(cls, backbone: str = "blip2") -> "VideoTGBConfig":
+        if backbone == "instructblip_t5":
+            blip2, backbone = Blip2Config.tiny(qformer_instruction=True), "blip2"
+        else:
+            blip2 = Blip2Config.tiny() if backbone == "blip2" else None
         return cls(
             backbone=backbone,
-            blip2=Blip2Config.tiny() if backbone == "blip2" else None,
+            blip2=blip2,
             instructblip=(InstructBlipConfig.tiny()
                           if backbone == "instructblip" else None),
             tgb=TGBConfig.tiny(),
@@ -201,7 +215,10 @@ class VideoTGB(nn.Module):
         )  # (B, nframe, H, W, 3)
         flat = sel.reshape(b * cfg.nframe, *frames.shape[2:])
         kwargs = {}
-        if cfg.backbone == "instructblip" and qformer_input_ids is not None:
+        instruction_aware = (
+            cfg.backbone == "instructblip"
+            or (cfg.blip2 is not None and cfg.blip2.qformer_instruction))
+        if instruction_aware and qformer_input_ids is not None:
             kwargs = dict(
                 qformer_input_ids=jnp.repeat(qformer_input_ids, cfg.nframe, 0),
                 qformer_attention_mask=(
@@ -226,15 +243,22 @@ class VideoTGB(nn.Module):
         question_ids: jax.Array,
         question_mask: jax.Array,
         key: jax.Array,
+        qformer_input_ids: jax.Array | None = None,
+        qformer_attention_mask: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Full BLIP2 inference prefix: TGB -> select -> ViT/Q-Former (mean
-        pooled) -> T5 encoder. Returns (enc_hidden, enc_mask, cand_index)."""
+        pooled) -> T5 encoder. Returns (enc_hidden, enc_mask, cand_index).
+        ``qformer_input_ids`` serve the instruction-aware InstructBLIP-Flan-T5
+        variant (cfg.blip2.qformer_instruction)."""
         _, start_logits, end_logits = self.span_logits(
             flow, flow_mask, sampler_question_ids, sampler_question_mask, "fusion"
         )
         cand = self.select_frames(start_logits, end_logits, video_length, key,
                                   inclusive_end=False)
-        visual = self.encode_selected(frames, cand, mean_pool=True)
+        visual = self.encode_selected(
+            frames, cand, mean_pool=True,
+            qformer_input_ids=qformer_input_ids,
+            qformer_attention_mask=qformer_attention_mask)
         embeds, mask = self.model.encoder_inputs(visual, question_ids, question_mask)
         enc_hidden = self.model.language_model.encode(embeds, mask)
         return enc_hidden, mask, cand
@@ -255,10 +279,16 @@ class VideoTGB(nn.Module):
         creates the complete parameter tree (encoder AND decoder AND RAFT) —
         flax creates params lazily per called module."""
         if self.config.backbone == "blip2":
+            # the instruction-aware variant must create the qformer's text
+            # params at init (flax lazy creation)
+            qf_kwargs = {}
+            if self.config.blip2.qformer_instruction:
+                qf_kwargs = dict(qformer_input_ids=sampler_question_ids,
+                                 qformer_attention_mask=sampler_question_mask)
             enc_hidden, enc_mask, cand = self.prepare_t5_inference(
                 frames, flow, flow_mask, video_length,
                 sampler_question_ids, sampler_question_mask,
-                question_ids, question_mask, key,
+                question_ids, question_mask, key, **qf_kwargs,
             )
             b = enc_hidden.shape[0]
             caches = self.init_t5_caches(b, 4, enc_hidden.shape[1])
@@ -379,6 +409,10 @@ def generate_blip2(
         batch["video_length"], batch["sampler_question_ids"],
         batch["sampler_question_mask"], batch["question_ids"],
         batch["question_mask"], sel_key,
+        qformer_input_ids=(batch.get("qformer_input_ids")
+                           if cfg.blip2.qformer_instruction else None),
+        qformer_attention_mask=(batch.get("qformer_attention_mask")
+                                if cfg.blip2.qformer_instruction else None),
         method=model.prepare_t5_inference,
     )
     out = t5_generate_from_encoder(model, params, enc_hidden, enc_mask,

@@ -111,7 +111,8 @@ def build_params(args) -> tuple[dict, object]:
             C.convert_blip2_qformer(
                 sd, bb.qformer.num_layers,
                 bb.qformer.cross_attention_frequency, "qformer.",
-                instruct=(args.backbone == "instructblip")),
+                instruct=(args.backbone in ("instructblip",
+                                            "instructblip_t5"))),
             "model", "qformer"))
         if "query_tokens" in sd:
             flat_updates[("model", "query_tokens")] = np.asarray(sd["query_tokens"])
@@ -120,7 +121,7 @@ def build_params(args) -> tuple[dict, object]:
                 np.asarray(sd["language_projection.weight"]).T)
             flat_updates[("model", "language_projection", "bias")] = (
                 np.asarray(sd["language_projection.bias"]))
-        if args.backbone == "blip2":
+        if args.backbone in ("blip2", "instructblip_t5"):
             flat_updates.update(C.with_subtree(
                 C.convert_t5(sd, bb.t5.num_encoder_layers,
                              bb.t5.num_decoder_layers, "language_model."),
@@ -206,7 +207,8 @@ def build_params(args) -> tuple[dict, object]:
 def main(argv=None) -> str:
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="flagship")
-    p.add_argument("--backbone", choices=["blip2", "instructblip"],
+    p.add_argument("--backbone",
+                   choices=["blip2", "instructblip", "instructblip_t5"],
                    default="blip2")
     p.add_argument("--backbone_dir", default=None)
     p.add_argument("--bert_dir", default=None)

@@ -31,7 +31,7 @@ def build_model(cfg: Config):
     if cfg.model.get("lora_rank"):
         import dataclasses
 
-        if backbone == "blip2":
+        if mcfg.backbone == "blip2":  # incl. the normalized instructblip_t5
             t5 = dataclasses.replace(mcfg.blip2.t5, lora_rank=cfg.model.lora_rank)
             mcfg = dataclasses.replace(
                 mcfg, blip2=dataclasses.replace(mcfg.blip2, t5=t5))
@@ -98,11 +98,19 @@ def build_data(cfg: Config, mcfg):
         )
         train_ds, val_ds = mk("train"), mk("val")
 
+        # instruction-aware backbones read the prompt through the
+        # bert-vocab qformer tokenizer (the sampler tokenizer family)
+        instruction_aware = (mcfg.instructblip is not None
+                             or (mcfg.blip2 is not None
+                                 and mcfg.blip2.qformer_instruction))
+
         def collate(samples):
             return collate_iv(samples, tok, nframe=mcfg.nframe,
                               image_size=common["image_size"],
                               max_txt_len=dcfg.get("max_txt_len", 128),
-                              answer_len=dcfg.get("answer_len", 32))
+                              answer_len=dcfg.get("answer_len", 32),
+                              qformer_tokenizer=(sampler_tok
+                                                 if instruction_aware else None))
 
         loader_kw = dict(batch_size=dcfg.get("batch_size", 2),
                          collate_fn=collate,

@@ -216,9 +216,13 @@ def _backbone_forward(model: VideoTGB, variables, frames, batch,
     if "widths" in batch:
         visual_valid = (batch["widths"] > 0).astype(jnp.float32)
     if model.config.backbone == "blip2":
+        qf_ids = qf_mask = None
+        if model.config.blip2.qformer_instruction:  # InstructBLIP-Flan-T5
+            qf_ids = batch.get("qformer_input_ids")
+            qf_mask = batch.get("qformer_attention_mask")
         return model.apply(
             variables, frames, batch["question_ids"], batch["question_mask"],
-            batch["answer_ids"], mean_pool, visual_valid,
+            batch["answer_ids"], qf_ids, qf_mask, mean_pool, visual_valid,
             method=_blip2_loss_method)
     return model.apply(
         variables, frames, batch["instruction_ids"], batch["instruction_mask"],
@@ -227,10 +231,11 @@ def _backbone_forward(model: VideoTGB, variables, frames, batch,
         mean_pool, visual_valid, method=_instructblip_loss_method)
 
 
-def _blip2_loss_method(mdl: VideoTGB, frames, q_ids, q_mask, a_ids, mean_pool,
-                       visual_valid):
+def _blip2_loss_method(mdl: VideoTGB, frames, q_ids, q_mask, a_ids, qf_ids,
+                       qf_mask, mean_pool, visual_valid):
     return mdl.model(frames, q_ids, q_mask, a_ids, mean_pool=mean_pool,
-                     visual_valid=visual_valid)
+                     visual_valid=visual_valid, qformer_input_ids=qf_ids,
+                     qformer_attention_mask=qf_mask)
 
 
 def _instructblip_loss_method(mdl: VideoTGB, frames, inst_ids, inst_mask,
