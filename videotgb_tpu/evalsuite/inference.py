@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--preset", default="flagship",
                    help="VideoTGBConfig preset for checkpoint-dir model_path "
                         "(tiny/small/flagship)")
+    p.add_argument("--backbone", default="blip2",
+                   choices=["blip2", "instructblip_t5"],
+                   help="T5-decoding backbone variant (instructblip_t5 = "
+                        "instruction-aware Q-Former)")
     p.add_argument("--flow_size", type=int, default=None,
                    help="override cfg.tgb.flow_size (must match the "
                         "converted checkpoint)")
@@ -91,11 +95,12 @@ def load_model(args):
 
     from videotgb_tpu.models.videotgb import VideoTGB, VideoTGBConfig
 
+    backbone = getattr(args, "backbone", "blip2")
     if args.model_path.startswith("random:"):
         preset = args.model_path.split(":", 1)[1]
-        cfg = getattr(VideoTGBConfig, preset)("blip2")
+        cfg = getattr(VideoTGBConfig, preset)(backbone)
     else:
-        cfg = getattr(VideoTGBConfig, args.preset)("blip2")
+        cfg = getattr(VideoTGBConfig, args.preset)(backbone)
     if getattr(args, "flow_size", None):
         import dataclasses
 
@@ -246,6 +251,10 @@ def run_inference(args) -> str:
                 "sampler_question_mask": jnp.asarray(sq_enc["attention_mask"]),
                 "question_ids": jnp.asarray(q_enc["input_ids"], jnp.int32),
                 "question_mask": jnp.asarray(q_enc["attention_mask"]),
+                # instruction-aware Q-Former text (instructblip_t5 backbone;
+                # ignored by plain blip2)
+                "qformer_input_ids": jnp.asarray(sq_enc["input_ids"], jnp.int32),
+                "qformer_attention_mask": jnp.asarray(sq_enc["attention_mask"]),
             }
             key = jax.random.fold_in(jax.random.key(0), start)
             tokens, _ = gen(params, batch, key)
