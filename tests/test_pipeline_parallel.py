@@ -83,6 +83,25 @@ def test_pipeline_is_differentiable():
                                    rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+def test_pipeline_on_full_4axis_mesh():
+    """pipeline_apply must compose with the framework's (dp, fsdp, tp, pp)
+    mesh — the pp axis is partitioned, the others stay replicated."""
+    from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(MeshConfig(dp=2, fsdp=1, tp=1, pp=4))
+    assert mesh.shape["pp"] == 4
+    params = _stack_mlp(jax.random.key(0), 8, 16)
+    x = jax.random.normal(jax.random.key(1), (8, 16))
+    expected = _sequential(params, x)
+    got = jax.jit(lambda p, x: pipeline_apply(
+        _mlp_layer, p, x, mesh, "pp", 4))(
+        place_pipeline_params(params, mesh, "pp"), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pipeline_transformer_layer():
     """A real flax transformer layer (the ViT block) runs pipelined: the
     stacked-params layout is exactly nn.scan's, so scanned towers can stage
