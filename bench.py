@@ -131,7 +131,7 @@ def _fast_act(cfg):
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "flagship")
     # batch 64 amortizes the T5 decoder's per-step weight streaming over 2x
-    # the clips: 1158 vs 1114 f/s at batch 32 (p50 also improves — the
+    # the clips: 1162 vs 1114 f/s at batch 32 (p50 also improves — the
     # device cost per clip drops 28.7 -> 27.6 ms)
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "6"))

@@ -66,7 +66,6 @@ def test_instructblip_t5_generate_uses_instructions(it5_setup):
     batch_b["qformer_input_ids"] = jnp.asarray(
         np.random.default_rng(9).integers(4, 60, (2, 6)), jnp.int32)
     # compare qformer outputs (tokens can coincide on a tiny random model)
-    cand_fixed = cand
     va = model.apply(params, batch["frames"], jnp.zeros((2, model.config.nframe), jnp.int32),
                      True, batch["qformer_input_ids"],
                      batch["qformer_attention_mask"],
@@ -96,6 +95,30 @@ def test_instructblip_t5_sf_training_step(it5_setup):
     assert emb_paths, "no gradient reached the qformer text embeddings"
 
 
+def test_smoke_train_vicuna_sf_cli(tmp_path, monkeypatch):
+    """The SF recipe RUNS end-to-end on the decoder-only backbone: synthetic
+    loader -> collate (packed labels + qformer text) -> per-frame LLaMA
+    pseudo generation -> joint loss -> generative eval. This is the proof
+    behind the LSTP_SF_instructblipvicuna7b overlay."""
+    monkeypatch.chdir(tmp_path)
+    from videotgb_tpu.train import main as train_main
+
+    train_main(["experiment=smoke_sf_vicuna_synthetic",
+                f"paths.root_dir={tmp_path}/run"])
+    assert (tmp_path / "run" / "outputs" / "checkpoints").exists()
+
+
+def test_smoke_train_it5_e2e_cli(tmp_path, monkeypatch):
+    """E2E training runs on the instructblip_t5 backbone (instruction-aware
+    qformer + T5) — the proof behind the LSTP_instructblipflant5xl overlays."""
+    monkeypatch.chdir(tmp_path)
+    from videotgb_tpu.train import main as train_main
+
+    train_main(["experiment=smoke_e2e_it5_synthetic",
+                f"paths.root_dir={tmp_path}/run"])
+    assert (tmp_path / "run" / "outputs" / "checkpoints").exists()
+
+
 def test_all_experiment_overlays_compose():
     """Every reference-named experiment overlay must compose into a valid
     config (the user-visible config surface)."""
@@ -103,6 +126,8 @@ def test_all_experiment_overlays_compose():
 
     exp_dir = os.path.join(CONFIG_DIR, "experiment")
     for name in sorted(os.listdir(exp_dir)):
+        if not name.endswith(".yaml"):
+            continue
         stem = name[:-len(".yaml")]
         cfg = compose(CONFIG_DIR, "train", [f"experiment={stem}"])
         assert cfg.model.get("backbone", "blip2") in (

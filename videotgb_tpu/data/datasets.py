@@ -176,7 +176,6 @@ def collate_videoinstruct(
 
     questions = [s["question"] for s in samples]
     answers = [s["answer"] for s in samples]
-    instructions = [s["instruction"] for s in samples]
 
     sq = sampler_tokenizer(questions, padding="max_length", truncation=True,
                            max_length=max_txt_len)
@@ -184,8 +183,17 @@ def collate_videoinstruct(
                   max_length=max_txt_len)
     a = tokenizer(answers, padding="max_length", truncation=True,
                   max_length=answer_len)
-    inst = tokenizer(instructions, padding="max_length", truncation=True,
-                     max_length=max_txt_len)
+    # decoder-only (InstructBLIP) packed prompt+answer with LAVIS-style
+    # labels: -100 on the prompt part and pads (pack_text_input_output,
+    # reference LSTP_module.py:677-699)
+    from videotgb_tpu.models.instructblip import pack_text_input_output
+
+    pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+    ragged = lambda enc: [
+        [t for t, m in zip(ids, mask) if m]
+        for ids, mask in zip(enc["input_ids"], enc["attention_mask"])]
+    inst_ids, inst_mask, labels = pack_text_input_output(
+        ragged(q), ragged(a), max_txt_len + answer_len, pad_id)
 
     return {
         "frames": frames,
@@ -204,8 +212,9 @@ def collate_videoinstruct(
         "question_mask": np.asarray(q["attention_mask"], np.int32),
         "answer_ids": np.asarray(a["input_ids"], np.int32),
         "answer_mask": np.asarray(a["attention_mask"], np.int32),
-        "instruction_ids": np.asarray(inst["input_ids"], np.int32),
-        "instruction_mask": np.asarray(inst["attention_mask"], np.int32),
+        "instruction_ids": np.asarray(inst_ids, np.int32),
+        "instruction_mask": np.asarray(inst_mask, np.int32),
+        "labels": np.asarray(labels, np.int32),
         "starts": np.asarray([s["start"] for s in samples], np.int32),
         "ends": np.asarray([s["end"] for s in samples], np.int32),
         "_text_answer": answers,
@@ -333,6 +342,14 @@ def collate_iv(
                   truncation=True, max_length=max_txt_len)
     a = tokenizer([s["answer"] for s in samples], padding="max_length",
                   truncation=True, max_length=answer_len)
+    from videotgb_tpu.models.instructblip import pack_text_input_output
+
+    pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+    ragged = lambda enc: [
+        [t for t, m in zip(ids, mask) if m]
+        for ids, mask in zip(enc["input_ids"], enc["attention_mask"])]
+    inst_ids, inst_mask, labels = pack_text_input_output(
+        ragged(q), ragged(a), max_txt_len + answer_len, pad_id)
     out = {
         "frames": frames,
         "widths": widths,
@@ -340,6 +357,11 @@ def collate_iv(
         "question_mask": np.asarray(q["attention_mask"], np.int32),
         "answer_ids": np.asarray(a["input_ids"], np.int32),
         "answer_mask": np.asarray(a["attention_mask"], np.int32),
+        # decoder-only packed prompt+answer (LAVIS labels) for the
+        # InstructBLIP recipes
+        "instruction_ids": np.asarray(inst_ids, np.int32),
+        "instruction_mask": np.asarray(inst_mask, np.int32),
+        "labels": np.asarray(labels, np.int32),
         "_text_answer": [s["answer"] for s in samples],
     }
     if qformer_tokenizer is not None:

@@ -46,6 +46,14 @@ class VideoTGBConfig:
     top_k: int = 2
     gumbel_tau: float = 0.5
 
+    @property
+    def instruction_aware(self) -> bool:
+        """True when the Q-Former reads instruction text (InstructBLIP-Vicuna
+        or the instructblip_t5 variant) — THE single source for this
+        predicate; don't re-derive it at call sites."""
+        return (self.backbone == "instructblip"
+                or (self.blip2 is not None and self.blip2.qformer_instruction))
+
     @classmethod
     def small(cls, backbone: str = "blip2") -> "VideoTGBConfig":
         """Flagship-shaped but depth/width-reduced: same tower structure,
@@ -215,10 +223,7 @@ class VideoTGB(nn.Module):
         )  # (B, nframe, H, W, 3)
         flat = sel.reshape(b * cfg.nframe, *frames.shape[2:])
         kwargs = {}
-        instruction_aware = (
-            cfg.backbone == "instructblip"
-            or (cfg.blip2 is not None and cfg.blip2.qformer_instruction))
-        if instruction_aware and qformer_input_ids is not None:
+        if cfg.instruction_aware and qformer_input_ids is not None:
             kwargs = dict(
                 qformer_input_ids=jnp.repeat(qformer_input_ids, cfg.nframe, 0),
                 qformer_attention_mask=(
@@ -410,9 +415,9 @@ def generate_blip2(
         batch["sampler_question_mask"], batch["question_ids"],
         batch["question_mask"], sel_key,
         qformer_input_ids=(batch.get("qformer_input_ids")
-                           if cfg.blip2.qformer_instruction else None),
+                           if cfg.instruction_aware else None),
         qformer_attention_mask=(batch.get("qformer_attention_mask")
-                                if cfg.blip2.qformer_instruction else None),
+                                if cfg.instruction_aware else None),
         method=model.prepare_t5_inference,
     )
     out = t5_generate_from_encoder(model, params, enc_hidden, enc_mask,
@@ -516,8 +521,16 @@ def answer_phase_blip2(
     std = jnp.asarray(CLIP_STD)
     frames = (selected_frames_u8.astype(jnp.float32) / 255.0 - mean) / std
     b, nf = frames.shape[:2]
+    qf_ids = qf_mask = None
+    if model.config.instruction_aware:  # instructblip_t5 two-phase serving
+        qf_ids = batch.get("qformer_input_ids")
+        qf_mask = batch.get("qformer_attention_mask")
+        if qf_ids is not None:
+            qf_ids = jnp.repeat(qf_ids, nf, axis=0)
+            qf_mask = (jnp.repeat(qf_mask, nf, axis=0)
+                       if qf_mask is not None else None)
     visual = model.apply(
-        params, frames.reshape(b * nf, *frames.shape[2:]), b,
+        params, frames.reshape(b * nf, *frames.shape[2:]), b, qf_ids, qf_mask,
         method=_encode_frames_pool_method)
     embeds, mask = model.apply(params, visual, batch["question_ids"],
                                batch["question_mask"],
@@ -527,8 +540,11 @@ def answer_phase_blip2(
                                     decode_config, key)
 
 
-def _encode_frames_pool_method(mdl: VideoTGB, flat, groups):
-    return mdl.model.encode_frames(flat, mean_pool_groups=groups)
+def _encode_frames_pool_method(mdl: VideoTGB, flat, groups, qf_ids=None,
+                               qf_mask=None):
+    return mdl.model.encode_frames(flat, mean_pool_groups=groups,
+                                   qformer_input_ids=qf_ids,
+                                   qformer_attention_mask=qf_mask)
 
 
 def _encoder_inputs_method(mdl: VideoTGB, visual, q_ids, q_mask):
@@ -562,6 +578,22 @@ def generate_instructblip(
         qformer_attention_mask=batch.get("qformer_attention_mask"),
         method=model.prepare_llama_inference,
     )
+    out = llama_generate_from_embeds(model, params, embeds, mask,
+                                     decode_config, decode_key, stop_sequences)
+    return out, cand
+
+
+def llama_generate_from_embeds(
+    model: VideoTGB,
+    params: Any,
+    embeds: jax.Array,  # (B, S, d) [visual | prompt] right-padded
+    mask: jax.Array,  # (B, S)
+    decode_config: DecodeConfig,
+    decode_key: jax.Array,
+    stop_sequences: tuple[tuple[int, ...], ...] = (),
+) -> jax.Array:
+    """Greedy/sample/beam LLaMA decode given a packed prefix: the shared
+    core of generate_instructblip and the SF per-frame pseudo-label pass."""
     b_orig = embeds.shape[0]
     beams = decode_config.num_beams
     if beams > 1:
@@ -619,4 +651,4 @@ def generate_instructblip(
         start = jnp.zeros((b,), jnp.int32)  # placeholder; cond replays t=0
         out = decode(step_fn, caches, start, decode_config, key=decode_key,
                      stop_sequences=stop_sequences)
-    return out, cand
+    return out

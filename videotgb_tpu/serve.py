@@ -69,6 +69,7 @@ class ServingEngine:
         seed: int = 0,
         model_base: str | None = None,
         sampler_base: str | None = None,
+        backbone: str = "blip2",
     ):
         """``model_base``/``sampler_base``: tokenizer dirs for the LLM and
         the TGB sampler (same knobs as evalsuite/inference.py) — REQUIRED
@@ -85,6 +86,7 @@ class ServingEngine:
         args = _Args()
         args.model_path = model_path
         args.preset = preset
+        args.backbone = backbone
         args.flow_size = None
         args.lora = 0
         args.flow_frames = flow_frames
@@ -200,6 +202,11 @@ class ServingEngine:
                         sq_enc["attention_mask"]),
                     "question_ids": jnp.asarray(q_enc["input_ids"], jnp.int32),
                     "question_mask": jnp.asarray(q_enc["attention_mask"]),
+                    # instruction-aware Q-Former text (instructblip_t5)
+                    "qformer_input_ids": jnp.asarray(
+                        sq_enc["input_ids"], jnp.int32),
+                    "qformer_attention_mask": jnp.asarray(
+                        sq_enc["attention_mask"]),
                 }
                 flow_u8 = jnp.asarray(np.stack([r.flow_u8 for r in padded]))
                 key = jax.random.fold_in(self._key, step)
@@ -247,13 +254,15 @@ def main(argv=None):
                    help="LLM tokenizer dir (required for real checkpoints)")
     p.add_argument("--sampler_base", default=None,
                    help="TGB sampler tokenizer dir")
+    p.add_argument("--backbone", default="blip2",
+                   choices=["blip2", "instructblip_t5"])
     args = p.parse_args(argv)
 
     engine = ServingEngine(
         args.model_path, preset=args.preset, batch_size=args.batch_size,
         flow_frames=args.flow_frames, max_new_tokens=args.max_new_tokens,
         max_delay_ms=args.max_delay_ms, model_base=args.model_base,
-        sampler_base=args.sampler_base)
+        sampler_base=args.sampler_base, backbone=args.backbone)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):

@@ -175,7 +175,8 @@ def build_params(args) -> tuple[dict, object]:
                 C.convert_blip2_qformer(
                     sub, bb.qformer.num_layers,
                     bb.qformer.cross_attention_frequency, "qformer.",
-                    instruct=(args.backbone == "instructblip")),
+                    instruct=(args.backbone in ("instructblip",
+                                                "instructblip_t5"))),
                 "model", "qformer"))
             if "query_tokens" in sub:
                 flat_updates[("model", "query_tokens")] = np.asarray(
@@ -186,7 +187,7 @@ def build_params(args) -> tuple[dict, object]:
                 flat_updates[("model", "language_projection", "bias")] = (
                     np.asarray(sub["language_projection.bias"]))
             if any(k.startswith("language_model.") for k in sub):
-                if args.backbone == "blip2":
+                if args.backbone in ("blip2", "instructblip_t5"):
                     flat_updates.update(C.with_subtree(
                         C.convert_t5(sub, bb.t5.num_encoder_layers,
                                      bb.t5.num_decoder_layers,

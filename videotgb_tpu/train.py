@@ -100,9 +100,7 @@ def build_data(cfg: Config, mcfg):
 
         # instruction-aware backbones read the prompt through the
         # bert-vocab qformer tokenizer (the sampler tokenizer family)
-        instruction_aware = (mcfg.instructblip is not None
-                             or (mcfg.blip2 is not None
-                                 and mcfg.blip2.qformer_instruction))
+        instruction_aware = mcfg.instruction_aware
 
         def collate(samples):
             return collate_iv(samples, tok, nframe=mcfg.nframe,
@@ -388,10 +386,15 @@ def sf_pseudo_scores(model, params, db, text_answers, tok,
 
     frames = jnp.asarray(db["frames"])
     b, f = frames.shape[:2]
+    qf_ids = db.get("qformer_input_ids")
     ids = pseudo_label_generate(
         model, {"params": params} if "params" not in params else params,
         frames, jnp.asarray(db["question_ids"]),
         jnp.asarray(db["question_mask"]), max_new_tokens=max_new_tokens,
+        qformer_input_ids=None if qf_ids is None else jnp.asarray(qf_ids),
+        qformer_attention_mask=(
+            None if qf_ids is None
+            else jnp.asarray(db["qformer_attention_mask"])),
     )
     predictions = tok.batch_decode(np.asarray(ids), skip_special_tokens=True)
     targets = [text_answers[i // f] for i in range(b * f)]

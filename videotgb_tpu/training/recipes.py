@@ -217,7 +217,7 @@ def _backbone_forward(model: VideoTGB, variables, frames, batch,
         visual_valid = (batch["widths"] > 0).astype(jnp.float32)
     if model.config.backbone == "blip2":
         qf_ids = qf_mask = None
-        if model.config.blip2.qformer_instruction:  # InstructBLIP-Flan-T5
+        if model.config.instruction_aware:  # InstructBLIP-Flan-T5
             qf_ids = batch.get("qformer_input_ids")
             qf_mask = batch.get("qformer_attention_mask")
         return model.apply(
@@ -299,22 +299,39 @@ def pseudo_label_generate(
     question_ids: jax.Array,  # (B, Tq)
     question_mask: jax.Array,
     max_new_tokens: int = 32,
+    qformer_input_ids: jax.Array | None = None,  # (B, Tq) instruction text
+    qformer_attention_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Per-frame greedy generation for self-refinement scoring: every one of
     the B*F frames is encoded alone and answers the question
-    (LSTP_SF_blip2_module.py:151-192; reference uses max_length=128 — trim
-    via max_new_tokens for budget). Returns token ids (B*F, max_new_tokens).
-    Host then scores rouge_n(decode(ids), answer) -> scores (B, F)."""
+    (LSTP_SF_blip2_module.py:151-192 / LSTP_SF_module.py:140-242 for the
+    decoder-only backbones; reference uses max_length=128 — trim via
+    max_new_tokens for budget). Returns token ids (B*F, max_new_tokens).
+    Host then scores rouge_n(decode(ids), answer) -> scores (B, F).
+
+    Instruction-aware backbones pass the qformer text so the scoring
+    posterior matches the trained model (reference LSTP_SF_module.py:169-173
+    routes the per-frame pass through the same instruction-aware qformer)."""
     from videotgb_tpu.ops.decode import DecodeConfig, decode
 
     cfg = model.config
-    t5cfg = cfg.blip2.t5
     b, f = frames.shape[:2]
     bf = b * f
     flat = frames.reshape(bf, *frames.shape[2:])
-    visual = model.apply(params, flat, method=_encode_frames_method)  # (BF,32,d)
+    rep = lambda x: None if x is None else jnp.repeat(x, f, axis=0)
+    qf_ids = rep(qformer_input_ids) if cfg.instruction_aware else None
+    qf_mask = rep(qformer_attention_mask) if cfg.instruction_aware else None
     q_ids = jnp.repeat(question_ids, f, axis=0)
     q_mask = jnp.repeat(question_mask, f, axis=0)
+
+    if cfg.backbone != "blip2":
+        return _pseudo_label_generate_llama(
+            model, params, flat, q_ids, q_mask, max_new_tokens,
+            qf_ids, qf_mask)
+
+    t5cfg = cfg.blip2.t5
+    visual = model.apply(params, flat, qf_ids, qf_mask,
+                         method=_encode_frames_method)  # (BF, 32, d)
     embeds, mask = model.apply(params, visual, q_ids, q_mask,
                                method=_encoder_inputs_method)
     enc_hidden = model.apply(params, embeds, mask, method=_t5_encode_method)
@@ -349,8 +366,44 @@ def pseudo_label_generate(
     return decode(step_fn, caches, start, dcfg)
 
 
-def _encode_frames_method(mdl: VideoTGB, flat):
-    return mdl.model.encode_frames(flat)
+def _pseudo_label_generate_llama(
+    model: VideoTGB,
+    params: Any,
+    flat: jax.Array,  # (B*F, H, W, 3)
+    q_ids: jax.Array,  # (B*F, Tq) prompt, right-padded
+    q_mask: jax.Array,
+    max_new_tokens: int,
+    qf_ids: jax.Array | None,
+    qf_mask: jax.Array | None,
+) -> jax.Array:
+    """Decoder-only per-frame pseudo generation (reference
+    LSTP_SF_module.py:561-586: each frame's 32 instruct-qformer tokens prefix
+    the prompt, then language_model.generate)."""
+    from videotgb_tpu.models.videotgb import llama_generate_from_embeds
+    from videotgb_tpu.ops.decode import DecodeConfig
+
+    llm_cfg = model.config.instructblip.llm
+    visual = model.apply(params, flat, qf_ids, qf_mask,
+                         method=_encode_frames_method)  # (BF, 32, d)
+    text_embeds = model.apply(params, q_ids, method=_llama_embed_method)
+    embeds = jnp.concatenate([visual.astype(text_embeds.dtype), text_embeds],
+                             axis=1)
+    vis_mask = jnp.ones(visual.shape[:2], q_mask.dtype)
+    mask = jnp.concatenate([vis_mask, q_mask], axis=1)
+    dcfg = DecodeConfig(max_new_tokens=max_new_tokens,
+                        eos_token_id=llm_cfg.eos_token_id,
+                        pad_token_id=llm_cfg.pad_token_id)
+    return llama_generate_from_embeds(model, params, embeds, mask, dcfg,
+                                      jax.random.key(0))
+
+
+def _llama_embed_method(mdl: VideoTGB, ids):
+    return mdl.model.language_model.embed(ids)
+
+
+def _encode_frames_method(mdl: VideoTGB, flat, qf_ids=None, qf_mask=None):
+    return mdl.model.encode_frames(flat, qformer_input_ids=qf_ids,
+                                   qformer_attention_mask=qf_mask)
 
 
 def _encoder_inputs_method(mdl: VideoTGB, visual, q_ids, q_mask):
