@@ -102,6 +102,63 @@ def test_pipeline_on_full_4axis_mesh():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_llama_tower_pipelines_under_pp_mesh():
+    """The production wiring (r2 VERDICT item 7): a scanned LlamaModel
+    forward inside a pp>1 mesh context routes its layer stack through
+    pipeline_apply — logits AND grads must match the sequential scan, and
+    the path must compose with a dp axis."""
+    import dataclasses
+
+    from flax import linen as nn
+
+    from videotgb_tpu.models.llama import LlamaConfig, LlamaModel
+    from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
+    from videotgb_tpu.parallel.sharding import param_partition_spec
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(MeshConfig(dp=4, fsdp=1, tp=1, pp=2))
+    cfg = dataclasses.replace(LlamaConfig.tiny(), scan_layers=True,
+                              dtype=jnp.float32, param_dtype=jnp.float32)
+    model = LlamaModel(cfg)
+    rng = np.random.default_rng(0)
+    b, s = 8, 6
+    ids = jnp.asarray(rng.integers(3, 60, (b, s)))
+    mask = jnp.asarray((rng.random((b, s)) > 0.2).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)
+    boxed = model.init(jax.random.key(0), ids)
+    params = nn.meta.unbox(boxed)["params"]
+
+    def loss(p, use_mask=True):
+        logits, _ = model.apply(
+            {"params": p}, ids, attention_mask=mask if use_mask else None)
+        return jnp.mean(logits ** 2)
+
+    # sequential reference, no mesh context
+    ref_logits, _ = model.apply({"params": params}, ids, attention_mask=mask)
+    ref_loss, ref_grads = jax.value_and_grad(loss)(params)
+
+    from jax.sharding import NamedSharding
+
+    specs = param_partition_spec(boxed["params"])
+    params_pp = jax.tree.map(
+        lambda x_, s_: jax.device_put(x_, NamedSharding(mesh, s_)),
+        params, specs)
+    with mesh:
+        pp_logits, _ = jax.jit(
+            lambda p: model.apply({"params": p}, ids, attention_mask=mask)
+        )(params_pp)
+        pp_loss, pp_grads = jax.jit(jax.value_and_grad(loss))(params_pp)
+    np.testing.assert_allclose(np.asarray(pp_logits), np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    flat_ref = jax.tree.leaves(ref_grads)
+    flat_pp = jax.tree.leaves(pp_grads)
+    for a, g in zip(flat_ref, flat_pp):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)
+
+
 def test_pipeline_transformer_layer():
     """A real flax transformer layer (the ViT block) runs pipelined: the
     stacked-params layout is exactly nn.scan's, so scanned towers can stage

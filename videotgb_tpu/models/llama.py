@@ -70,6 +70,17 @@ class LlamaConfig:
                    intermediate_size=64)
 
 
+def _pp_mesh():
+    """The active mesh when it has a pp axis > 1 (else None)."""
+    from videotgb_tpu.parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if (mesh is not None and "pp" in mesh.axis_names
+            and mesh.shape["pp"] > 1):
+        return mesh
+    return None
+
+
 class LlamaBlock(nn.Module):
     config: LlamaConfig
 
@@ -178,7 +189,18 @@ class LlamaModel(nn.Module):
             if attention_mask is not None:
                 bias = bias + make_padding_bias(attention_mask)
             new_caches = None
-            if cfg_scan:
+            pp_mesh = (_pp_mesh()
+                       if cfg_scan and not self.is_initializing() else None)
+            piped = False
+            if pp_mesh is not None:
+                try:  # ValueError = batch/layers not divisible -> sequential
+                    x = self._pipeline_forward(pp_mesh, x, positions, bias)
+                    piped = True
+                except ValueError:
+                    piped = False
+            if piped:
+                pass
+            elif cfg_scan:
                 x, _ = self.blocks_scan(x, None, positions, bias, None)
             else:
                 for block in self.blocks:
@@ -202,6 +224,31 @@ class LlamaModel(nn.Module):
 
         x = self.final_ln(x)
         return self.lm_head(x).astype(jnp.float32), new_caches
+
+    def _pipeline_forward(self, mesh, x, positions, bias):
+        """Pipeline-parallel layer stack: the scanned tower's stacked params
+        split into contiguous stages over the mesh's pp axis, microbatches
+        streamed between neighbours (parallel.pipeline GPipe pipelined scan).
+        Numerically identical to the sequential scan; active when a pp>1 mesh
+        context surrounds the train step and caches are off (training /
+        scoring passes — decode keeps the sequential path)."""
+        from videotgb_tpu.parallel.pipeline import pipeline_apply
+
+        cfg = self.config
+        b = x.shape[0]
+        stacked = self.variables["params"]["layers"]["layer"]
+        bias_b = jnp.broadcast_to(bias, (b, *bias.shape[1:]))
+
+        block = LlamaBlock(cfg, parent=None)  # detached functional block
+
+        def layer_fn(p, tree):
+            h, pos, bb = tree
+            h2, _ = block.apply({"params": p}, h, pos, bb)
+            return (h2, pos, bb)
+
+        x, _, _ = pipeline_apply(layer_fn, stacked, (x, positions, bias_b),
+                                 mesh)
+        return x
 
     def init_caches(self, batch: int, max_len: int):
         cfg = self.config

@@ -24,7 +24,8 @@ import jax
 from flax import linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from videotgb_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, TENSOR_AXIS
+from videotgb_tpu.parallel.mesh import (
+    DATA_AXIS, FSDP_AXIS, PIPELINE_AXIS, TENSOR_AXIS)
 
 # rules: logical axis name -> mesh axis (or None = replicate)
 DEFAULT_RULES: tuple[tuple[str, Any], ...] = (
@@ -37,7 +38,9 @@ DEFAULT_RULES: tuple[tuple[str, Any], ...] = (
     ("conv_in", None),
     ("conv_out", None),
     ("seq", None),
-    ("layers", None),  # stacked axis from nn.scan-over-layers
+    # stacked axis from nn.scan-over-layers: stage-sharded when the mesh has
+    # a pp extent (size-1 pp axes make this a no-op on non-pipelined meshes)
+    ("layers", PIPELINE_AXIS),
 )
 
 
