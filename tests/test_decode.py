@@ -223,6 +223,97 @@ def test_beam_search_matches_hf_t5_generate(length_penalty, eos_boost):
     np.testing.assert_array_equal(np.asarray(got), padded)
 
 
+@pytest.mark.parametrize("length_penalty,eos_boost", [(2.0, 1.2), (0.6, 1.0)])
+def test_llama_beam_matches_hf_generate_inputs_embeds(length_penalty, eos_boost):
+    """Golden decoder-only beam parity vs transformers generate with
+    inputs_embeds (the Vicuna decode path, eval/utils/model.py:427-441).
+    transformers >= 4.33 normalizes beam scores by generated length only
+    (decoder_prompt_len semantics) — this pins llama_generate_from_embeds'
+    penalty_length_offset=1 to the HF behavior."""
+    import dataclasses
+
+    import torch
+    from flax import linen as nn
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    from videotgb_tpu.models.videotgb import (
+        VideoTGB, VideoTGBConfig, llama_generate_from_embeds)
+    from videotgb_tpu.training import convert as C
+
+    hf_cfg = HFLlamaConfig(
+        vocab_size=384, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        rms_norm_eps=1e-6, attention_bias=False, rope_theta=10000.0,
+        attention_dropout=0.0, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(3)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    with torch.no_grad():
+        # make EOS competitive so beams finish at different steps and length
+        # normalization actually decides the ranking
+        hf.lm_head.weight[2] += eos_boost
+
+    cfg = VideoTGBConfig.tiny("instructblip")
+    f32 = dict(dtype=jnp.float32, param_dtype=jnp.float32)
+    ib = dataclasses.replace(
+        cfg.instructblip,
+        llm=dataclasses.replace(cfg.instructblip.llm, **f32))
+    cfg = dataclasses.replace(cfg, instructblip=ib)
+    model = VideoTGB(cfg)
+
+    rng = np.random.default_rng(9)
+    b, prompt_len, k, max_new = 3, 6, 3, 8
+    ids = rng.integers(4, 300, (b, prompt_len))
+    with torch.no_grad():
+        t_embeds = hf.model.embed_tokens(torch.from_numpy(ids))
+        hf_out = hf.generate(
+            inputs_embeds=t_embeds,
+            attention_mask=torch.ones(b, prompt_len, dtype=torch.long),
+            num_beams=k, max_new_tokens=max_new,
+            length_penalty=length_penalty, early_stopping=False,
+            do_sample=False, min_length=0,
+        ).numpy()  # generated tokens only (no prompt with inputs_embeds)
+
+    img = cfg.instructblip.vit.image_size
+    fs = cfg.tgb.flow_size
+    key = jax.random.key(0)
+    init_batch = dict(
+        frames=jnp.zeros((1, cfg.num_frames, img, img, 3)),
+        flow=jnp.zeros((1, 4, fs, fs, 2)),
+        flow_mask=jnp.ones((1, 6)),
+        video_length=jnp.full((1,), 4),
+        sq=jnp.ones((1, 5), jnp.int32), sm=jnp.ones((1, 5)),
+        q=jnp.ones((1, 6), jnp.int32), qm=jnp.ones((1, 6)),
+    )
+    params = model.init(
+        key, init_batch["frames"], init_batch["flow"], init_batch["flow_mask"],
+        init_batch["video_length"], init_batch["sq"], init_batch["sm"],
+        init_batch["q"], init_batch["qm"], key, method=model.init_pipeline)
+    unboxed = nn.meta.unbox(params)
+    sd = {kk: vv.detach().numpy() for kk, vv in hf.state_dict().items()}
+    unboxed["params"]["model"]["language_model"] = C.merge_into(
+        unboxed["params"]["model"]["language_model"], C.convert_llama(sd, 2))
+    params = unboxed
+
+    embeds = model.apply(
+        params, method=lambda m: m.model.language_model.embed(jnp.asarray(ids)))
+    mask = jnp.ones((b, prompt_len))
+    dcfg = DecodeConfig(max_new_tokens=max_new, eos_token_id=2,
+                        pad_token_id=0, num_beams=k,
+                        length_penalty=length_penalty)
+    got = llama_generate_from_embeds(model, params, embeds, mask, dcfg,
+                                     jax.random.key(1))
+
+    def canon(row):
+        # tokens up to and including the first EOS (HF pads finished
+        # hypotheses with EOS-fill, ours with pad_token_id)
+        row = list(row)
+        return row[: row.index(2) + 1] if 2 in row else row
+
+    for i in range(b):
+        assert canon(np.asarray(got)[i]) == canon(hf_out[i]), i
+
+
 def test_llama_cached_greedy_matches_uncached_argmax():
     cfg = LlamaConfig.tiny()
     model = LlamaModel(cfg)

@@ -25,6 +25,29 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     assert csv_path.exists()
 
 
+def test_train_then_eval_cli_sf_generative(tmp_path, monkeypatch):
+    """The eval entry must generate + BLEU-score for generative recipes
+    (reference trainer.test -> eval_forward, src/eval.py:69 ->
+    LSTP_SF_blip2_module.py:595-611) — not crash on the SF loss's missing
+    pseudo scores, and not leave dropout on."""
+    monkeypatch.chdir(tmp_path)
+    from videotgb_tpu.evaluate import main as eval_main
+    from videotgb_tpu.train import main as train_main
+
+    train_main(["experiment=smoke_sf_synthetic",
+                f"paths.root_dir={tmp_path}/run"])
+    ckpt_dir = tmp_path / "run" / "outputs" / "checkpoints"
+    assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
+    metrics = eval_main(["experiment=smoke_sf_synthetic",
+                         f"paths.root_dir={tmp_path}/run",
+                         f"ckpt_path={ckpt_dir}"])
+    assert "test/score" in metrics
+    assert 0.0 <= metrics["test/score"] <= 1.0
+    # SF eval has no computable loss (no pseudo scores) — a fabricated
+    # test/loss: 0.0 must not appear
+    assert "test/loss" not in metrics
+
+
 def test_iv_dataset_reads_files(tmp_path):
     import cv2
 

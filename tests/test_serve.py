@@ -62,3 +62,44 @@ def test_failure_resolves_future(engine):
     fut = engine.submit(bad, bad, "bad?")
     with pytest.raises(Exception):
         fut.result(timeout=600)
+
+
+def test_bench_serve_measures_request_latency():
+    """bench_serve.bench_one reports a measured per-request latency
+    distribution (Reply.latency_ms), not the amortized derivation bench.py
+    uses (r2 VERDICT weak 2)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        from bench_serve import bench_one
+    finally:
+        sys.path.remove("/root/repo")
+    stats = bench_one(batch_size=2, preset="tiny", rate=50.0, n_requests=4,
+                      max_new=3, flow_frames=3, delay_ms=20.0)
+    assert stats["n"] == 4
+    assert 0 < stats["p50"] <= stats["p99"]
+    assert stats["throughput_req_s"] > 0
+
+
+def test_engine_serves_instructblip_backbone():
+    """The Vicuna (decoder-only) backbone through the two-phase serving
+    engine: TGB in multi_modal mode, instruction-aware Q-Former, LLaMA decode
+    (reference eval/utils/model.py:19-237)."""
+    from videotgb_tpu.serve import ServingEngine
+
+    eng = ServingEngine("random:tiny", preset="tiny", batch_size=2,
+                        flow_frames=3, max_new_tokens=4, max_delay_ms=100.0,
+                        backbone="instructblip")
+    try:
+        rng = np.random.default_rng(3)
+        image = eng.cfg.instructblip.vit.image_size
+        fs = eng.cfg.tgb.flow_size
+        frames = rng.integers(0, 255, (eng.cfg.num_frames, image, image, 3),
+                              np.uint8)
+        flow = rng.integers(0, 255, (eng.flow_frames + 1, fs, fs, 3), np.uint8)
+        r = eng.submit(frames, flow, "what happens?").result(timeout=600)
+        assert isinstance(r.answer, str)
+        assert len(r.selected_frames) == eng.cfg.nframe
+    finally:
+        eng.close()

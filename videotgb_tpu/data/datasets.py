@@ -152,6 +152,23 @@ class SyntheticVideoQA:
         }
 
 
+def _ragged_ids(enc) -> list[list[int]]:
+    """Unpadded token lists from a padded HF-style encoding."""
+    return [[t for t, m in zip(ids, mask) if m]
+            for ids, mask in zip(enc["input_ids"], enc["attention_mask"])]
+
+
+def _strip_bos(ids: list[list[int]], tokenizer) -> list[list[int]]:
+    """Drop a leading BOS the tokenizer prepended to the answer, mirroring
+    the reference's ``output_ids[i][1:]`` in concat_text_input_output
+    (LSTP_module.py:688) — otherwise a stray BOS lands between prompt and
+    answer and becomes the first supervised label token."""
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if bos is None:
+        return ids
+    return [seq[1:] if seq and seq[0] == bos else seq for seq in ids]
+
+
 def collate_videoinstruct(
     samples: list[dict],
     tokenizer,
@@ -189,11 +206,9 @@ def collate_videoinstruct(
     from videotgb_tpu.models.instructblip import pack_text_input_output
 
     pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
-    ragged = lambda enc: [
-        [t for t, m in zip(ids, mask) if m]
-        for ids, mask in zip(enc["input_ids"], enc["attention_mask"])]
     inst_ids, inst_mask, labels = pack_text_input_output(
-        ragged(q), ragged(a), max_txt_len + answer_len, pad_id)
+        _ragged_ids(q), _strip_bos(_ragged_ids(a), tokenizer),
+        max_txt_len + answer_len, pad_id)
 
     return {
         "frames": frames,
@@ -345,11 +360,9 @@ def collate_iv(
     from videotgb_tpu.models.instructblip import pack_text_input_output
 
     pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
-    ragged = lambda enc: [
-        [t for t, m in zip(ids, mask) if m]
-        for ids, mask in zip(enc["input_ids"], enc["attention_mask"])]
     inst_ids, inst_mask, labels = pack_text_input_output(
-        ragged(q), ragged(a), max_txt_len + answer_len, pad_id)
+        _ragged_ids(q), _strip_bos(_ragged_ids(a), tokenizer),
+        max_txt_len + answer_len, pad_id)
     out = {
         "frames": frames,
         "widths": widths,

@@ -87,10 +87,45 @@ class ByteTokenizer:
         return Encoding(ids, mask)
 
 
+import os
+
+# a real (minimal) WordPiece vocab vendored with the package: bert-style
+# specials + characters + ##-continuations + common words, 384 entries (fits
+# the tiny TGB embedding). Real deployments point at the full
+# bert-base-uncased assets; this keeps the genuine HF-WordPiece code path
+# exercisable offline (reference loads BertTokenizer at
+# src/data/videoinstruct_datamodule.py:136-145).
+VENDORED_BERT_VOCAB = os.path.join(
+    os.path.dirname(__file__), "assets", "bert_vocab.txt")
+
+
+def write_vendored_bert_dir(directory: str) -> str:
+    """Materialize an AutoTokenizer-loadable directory from the vendored
+    WordPiece vocab (vocab.txt + tokenizer_config.json) — the same on-disk
+    layout a downloaded bert-base-uncased checkpoint dir has."""
+    import json
+    import shutil
+
+    os.makedirs(directory, exist_ok=True)
+    shutil.copy(VENDORED_BERT_VOCAB, os.path.join(directory, "vocab.txt"))
+    with open(os.path.join(directory, "tokenizer_config.json"), "w") as f:
+        json.dump({"tokenizer_class": "BertTokenizer",
+                   "do_lower_case": True,
+                   "model_max_length": 512}, f)
+    return directory
+
+
 def load_tokenizer(name_or_path: str | None, **kwargs):
-    """HF AutoTokenizer when resolvable, ByteTokenizer otherwise."""
+    """HF AutoTokenizer when resolvable, ByteTokenizer otherwise.
+    ``"bert-vendored"`` loads the packaged minimal WordPiece vocab through
+    the real transformers BertTokenizer."""
     if name_or_path in (None, "byte", "byte-tokenizer"):
         return ByteTokenizer(**kwargs)
+    if name_or_path == "bert-vendored":
+        from transformers import BertTokenizer
+
+        return BertTokenizer(vocab_file=VENDORED_BERT_VOCAB,
+                             do_lower_case=True)
     try:
         from transformers import AutoTokenizer
 

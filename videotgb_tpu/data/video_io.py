@@ -46,6 +46,94 @@ def duplicate_to_length(indices: list[int], minimum: int) -> list[int]:
     return indices
 
 
+def reference_flow_indices(total: int, native_fps: float,
+                           fps: float = 2.0) -> list[int]:
+    """The reference's eval-time flow-frame rule (eval/utils/
+    builder_utils.py:25-45 read_videos_av): when the requested fps does not
+    exceed the native rate, take every int(native_fps)-th frame — i.e. ~1
+    frame per second over the WHOLE native timeline regardless of the fps
+    argument — otherwise every frame."""
+    step = int(native_fps)
+    if fps <= native_fps and step >= 1:
+        return list(range(0, total, step))
+    return list(range(total))
+
+
+def candidate_indices(vlen: int, num_frames: int = 32) -> list[int]:
+    """Candidate-frame rule (builder_utils.py:131-139): positions into the
+    flow-frame sequence — duplicate-when-short to >= num_frames, then uniform
+    chunk-start sampling."""
+    idx = duplicate_to_length(list(range(vlen)), num_frames)
+    return [idx[i] for i in sample_frames(num_frames, len(idx))]
+
+
+def read_video_timeline(
+    path: str,
+    max_frames: int = 64,
+    fps: float = 2.0,
+    size: tuple[int, int] | None = None,
+) -> tuple[np.ndarray, int]:
+    """Decode flow frames over the whole native timeline at ~1 fps
+    (:func:`reference_flow_indices`), uniformly thinned to ``max_frames``
+    when the video is longer (the training-time <=64 cap,
+    videoinstruct_dataset.py:241-243, keeps shapes static on TPU).
+
+    Returns (frames (L, H, W, 3) uint8 RGB, L) with L <= max_frames the true
+    flow length; the caller pads to a duration bucket and carries L in
+    flow_mask / video_length.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(path)
+    native_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total <= 0:
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+        cap.release()
+        if not frames:
+            raise ValueError(f"no frames decoded from {path}")
+        arr = np.stack(frames)
+        wanted = reference_flow_indices(len(arr), native_fps, fps)
+        if len(wanted) > max_frames:
+            wanted = [wanted[i] for i in sample_frames(max_frames, len(wanted))]
+        return _postprocess(arr[wanted], size), len(wanted)
+
+    wanted = reference_flow_indices(total, native_fps, fps)
+    if len(wanted) > max_frames:
+        wanted = [wanted[i] for i in sample_frames(max_frames, len(wanted))]
+    out = _grab_indices(cap, wanted, path)
+    return _postprocess(out, size), len(wanted)
+
+
+def _grab_indices(cap, wanted: list[int], path: str) -> np.ndarray:
+    """Sequential grab()-skip decode of ``wanted`` frame indices (BGR)."""
+    unique = sorted(set(wanted))
+    grabbed: dict[int, np.ndarray] = {}
+    pos = 0
+    for target in unique:
+        while pos < target:
+            if not cap.grab():
+                break
+            pos += 1
+        ok, frame = cap.read()
+        pos += 1
+        if not ok:
+            break
+        grabbed[target] = frame
+    cap.release()
+    if not grabbed:
+        raise ValueError(f"no frames decoded from {path}")
+    last = max(grabbed)
+    return np.stack([grabbed.get(i, grabbed[min(i, last)]) for i in wanted])
+
+
 def read_video_cv2(
     path: str,
     num_frames: int | None = None,
@@ -85,26 +173,9 @@ def read_video_cv2(
         return _postprocess(out, size), native_fps
 
     wanted = _wanted_indices(total, num_frames, fps, native_fps, sampling)
-    unique = sorted(set(wanted))
-    grabbed: dict[int, np.ndarray] = {}
     # sequential scan with grab() (header-only skip) beats per-frame seeking:
     # cap.set() seeks re-decode from the previous keyframe every time
-    pos = 0
-    for target in unique:
-        while pos < target:
-            if not cap.grab():
-                break
-            pos += 1
-        ok, frame = cap.read()
-        pos += 1
-        if not ok:
-            break
-        grabbed[target] = frame
-    cap.release()
-    if not grabbed:
-        raise ValueError(f"no frames decoded from {path}")
-    last = max(grabbed)
-    out = np.stack([grabbed.get(i, grabbed[min(i, last)]) for i in wanted])
+    out = _grab_indices(cap, wanted, path)
     return _postprocess(out, size), native_fps
 
 

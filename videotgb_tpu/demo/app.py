@@ -30,7 +30,11 @@ class Chat:
     indices, frame thumbnails, flow visualizations)."""
 
     def __init__(self, model_path: str = "random:small", nframe: int = 4,
-                 flow_frames: int = 8, max_new_tokens: int = 32):
+                 flow_frames: int = 8, max_new_tokens: int = 32,
+                 preset: str = "small", backbone: str = "blip2",
+                 model_base: str | None = None,
+                 sampler_base: str | None = None,
+                 flow_size: int | None = None):
         import jax
 
         from videotgb_tpu.data.tokenizer import load_tokenizer
@@ -39,13 +43,20 @@ class Chat:
         class _Args:
             pass
 
+        # the full load_model surface — real (non-random:) checkpoint dirs
+        # need preset/backbone to rebuild the matching config
+        # (reference demo/demo.py:127-139 Chat(model_path, ...))
         args = _Args()
         args.model_path = model_path
+        args.preset = preset
+        args.backbone = backbone
+        args.nframe = nframe
+        args.flow_size = flow_size  # must match a converted checkpoint's
         args.lora = 0
         args.flow_frames = flow_frames
         self.model, self.params, self.cfg = load_model(args)
-        self.tok = load_tokenizer(None)
-        self.sampler_tok = load_tokenizer(None)
+        self.tok = load_tokenizer(model_base)
+        self.sampler_tok = load_tokenizer(sampler_base)
         self.nframe = nframe
         self.flow_frames = flow_frames
         self.max_new_tokens = max_new_tokens
@@ -58,7 +69,9 @@ class Chat:
         from videotgb_tpu.data.transforms import clip_transform, resize_video
         from videotgb_tpu.data.video_io import read_video_cv2, sample_frames
 
-        image = self.cfg.blip2.vit.image_size
+        vit_cfg = (self.cfg.blip2.vit if self.cfg.blip2 is not None
+                   else self.cfg.instructblip.vit)
+        image = vit_cfg.image_size
         fs = self.cfg.tgb.flow_size
         raw, _ = read_video_cv2(video_path, num_frames=self.cfg.num_frames,
                                 size=(max(image, fs),) * 2)
@@ -75,7 +88,8 @@ class Chat:
         import jax.numpy as jnp
 
         from videotgb_tpu.data.flow_viz import flow_to_image
-        from videotgb_tpu.models.videotgb import generate_blip2
+        from videotgb_tpu.models.videotgb import (
+            generate_blip2, generate_instructblip)
         from videotgb_tpu.ops.decode import DecodeConfig
 
         raw, frames, flow_rgb = self._prep_video(video_path)
@@ -95,15 +109,24 @@ class Chat:
             "sampler_question_mask": jnp.asarray(sq["attention_mask"]),
             "question_ids": jnp.asarray(q["input_ids"], jnp.int32),
             "question_mask": jnp.asarray(q["attention_mask"]),
+            "qformer_input_ids": jnp.asarray(sq["input_ids"], jnp.int32),
+            "qformer_attention_mask": jnp.asarray(sq["attention_mask"]),
         }
+        decoder_only = self.cfg.backbone == "instructblip"
+        if decoder_only:
+            lm = self.cfg.instructblip.llm
+            eos_id, pad_id = lm.eos_token_id, lm.pad_token_id
+        else:
+            eos_id = self.cfg.blip2.t5.eos_token_id
+            pad_id = self.cfg.blip2.t5.pad_token_id
         dcfg = DecodeConfig(
             max_new_tokens=self.max_new_tokens,
-            eos_token_id=self.cfg.blip2.t5.eos_token_id,
-            pad_token_id=self.cfg.blip2.t5.pad_token_id,
+            eos_token_id=eos_id, pad_token_id=pad_id,
             do_sample=do_sample, temperature=temperature,
         )
-        tokens, cand = generate_blip2(self.model, self.params, batch, dcfg,
-                                      jax.random.key(seed))
+        gen = generate_instructblip if decoder_only else generate_blip2
+        tokens, cand = gen(self.model, self.params, batch, dcfg,
+                           jax.random.key(seed))
         answer = self.tok.batch_decode(np.asarray(tokens))[0]
         cand_idx = np.asarray(cand[0]).tolist()
 
@@ -196,12 +219,24 @@ def make_handler(chat: Chat):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", default="random:small")
+    p.add_argument("--preset", default="small")
+    p.add_argument("--backbone", default="blip2",
+                   choices=["blip2", "instructblip_t5", "instructblip"])
+    p.add_argument("--model_base", default=None,
+                   help="LLM tokenizer dir (required for real checkpoints)")
+    p.add_argument("--sampler_base", default=None,
+                   help="TGB sampler tokenizer dir")
+    p.add_argument("--flow_size", type=int, default=None,
+                   help="override cfg.tgb.flow_size (must match the "
+                        "converted checkpoint)")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--nframe", type=int, default=4)
     p.add_argument("--max_new_tokens", type=int, default=32)
     args = p.parse_args(argv)
     chat = Chat(args.model_path, nframe=args.nframe,
-                max_new_tokens=args.max_new_tokens)
+                max_new_tokens=args.max_new_tokens, preset=args.preset,
+                backbone=args.backbone, model_base=args.model_base,
+                sampler_base=args.sampler_base, flow_size=args.flow_size)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(chat))
     print(f"VideoTGB-TPU demo on http://localhost:{args.port}")
     server.serve_forever()

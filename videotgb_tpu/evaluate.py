@@ -65,23 +65,27 @@ def evaluate(cfg: Config) -> dict[str, float]:
     if cfg.model.get("recipe", "tg") == "tg":
         metrics = evaluate_tg(model, recipe, state, val_loader, tok)
     else:
-        from videotgb_tpu.training import metrics as M
+        # generative recipes restore + generate + score, like the reference's
+        # trainer.test -> eval_forward (src/eval.py:69 ->
+        # LSTP_SF_blip2_module.py:595-611) — deterministic (dropout off),
+        # BLEU-1 val/score, loss skipped where the recipe needs train-time
+        # pseudo labels (SF)
+        from videotgb_tpu.train import evaluate_generative
 
-        loss_state = M.mean_init()
-        for batch in val_loader:
-            loss, _ = recipe.loss_fn(model, state.params,
-                                     device_batch(batch), jax.random.key(0))
-            loss_state = M.mean_update(loss_state, loss)
-        metrics = {"test/loss": float(M.mean_compute(loss_state))}
+        metrics = evaluate_generative(
+            model, recipe, state, val_loader, tok,
+            max_new_tokens=cfg.model.get("eval_max_new", 16))
+    metrics = {f"test{k[3:]}" if k.startswith("val") else k: v
+               for k, v in metrics.items()}
     log.info("test metrics: %s", metrics)
     return metrics
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None) -> dict[str, float]:
     argv = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "eval", argv)
     print_config_tree(cfg)
-    evaluate(cfg)
+    return evaluate(cfg)
 
 
 if __name__ == "__main__":

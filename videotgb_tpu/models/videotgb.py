@@ -172,6 +172,24 @@ class VideoTGB(nn.Module):
         rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
         return flow / (rad_max + 1e-5)
 
+    def flow_features_timeline(
+        self, flow_frames: jax.Array, valid: jax.Array
+    ) -> jax.Array:
+        """Whole-timeline eval flow: (B, L, H, W, 3) ~1 fps decoded frames
+        (possibly pad-extended) -> (B, L, h, w, 2) TGB input.
+
+        The reference's inference path has exactly L decoded flow frames, so
+        it takes the L-1 consecutive pairs and repeats the last flow
+        (eval/utils/model.py:294-303); ``valid`` (B, L) masks pad frames out
+        of the max-radius normalization (videoinstruct_dataset.py:211-226) so
+        padding never rescales the real flow.
+        """
+        flow = self.compute_flow(flow_frames)  # (B, L, h, w, 2), last dup
+        rad = jnp.sqrt(jnp.sum(flow ** 2, axis=-1))
+        rad = rad * valid[:, :, None, None].astype(rad.dtype)
+        rad_max = jnp.max(rad, axis=(1, 2, 3), keepdims=True)[..., None]
+        return flow / (rad_max + 1e-5)
+
     # ----------------------------------------------------------------- TGB
     def span_logits(
         self,
@@ -490,17 +508,20 @@ def select_phase_blip2(
     flow_rgb_u8: jax.Array,  # (B, L+1, Hf, Wf, 3) uint8 flow frames
     batch: dict[str, jax.Array],
     key: jax.Array,
+    mode: str = "fusion",
 ) -> jax.Array:
     """Phase 1 of the low-host-bandwidth serving split: RAFT + TGB + Gumbel
     selection on device from the (small) flow frames only. The host ships
     ~0.8 MB/clip here, fetches the (B, nframe) indices, then ships only the
     selected candidate frames to :func:`answer_phase_blip2` — the full
-    32-frame slab never crosses the host link."""
+    32-frame slab never crosses the host link. ``mode`` is "fusion" for the
+    T5 backbones, "multi_modal" for Vicuna (eval/utils/model.py:92-100 vs
+    :306-314)."""
     flow = model.apply(params, flow_rgb_u8.astype(jnp.float32),
                        method=model.flow_features)
     _, sl, el = model.apply(
         params, flow, batch["flow_mask"], batch["sampler_question_ids"],
-        batch["sampler_question_mask"], "fusion", method=model.span_logits)
+        batch["sampler_question_mask"], mode, method=model.span_logits)
     return model.apply(params, sl, el, batch["video_length"], key,
                        inclusive_end=False, method=model.select_frames)
 
@@ -538,6 +559,46 @@ def answer_phase_blip2(
     enc_hidden = model.apply(params, embeds, mask, method=_t5_encode_method)
     return t5_generate_from_encoder(model, params, enc_hidden, mask,
                                     decode_config, key)
+
+
+def answer_phase_instructblip(
+    model: VideoTGB,
+    params: Any,
+    selected_frames_u8: jax.Array,  # (B, nframe, H, W, 3) uint8 RGB
+    batch: dict[str, jax.Array],
+    decode_config: DecodeConfig,
+    key: jax.Array,
+    stop_sequences: tuple[tuple[int, ...], ...] = (),
+) -> jax.Array:
+    """Phase 2 for the Vicuna backbone: CLIP normalization on device,
+    instruction-aware Q-Former mean-pooled to 32 tokens, [visual | prompt]
+    embeddings, decoder-only generate (eval/utils/model.py:186-231)."""
+    from videotgb_tpu.data.constants import CLIP_MEAN, CLIP_STD
+
+    mean = jnp.asarray(CLIP_MEAN)
+    std = jnp.asarray(CLIP_STD)
+    frames = (selected_frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+    b, nf = frames.shape[:2]
+    qf_ids = batch.get("qformer_input_ids")
+    qf_mask = batch.get("qformer_attention_mask")
+    if qf_ids is not None:
+        qf_ids = jnp.repeat(qf_ids, nf, axis=0)
+        qf_mask = (jnp.repeat(qf_mask, nf, axis=0)
+                   if qf_mask is not None else None)
+    visual = model.apply(
+        params, frames.reshape(b * nf, *frames.shape[2:]), b, qf_ids, qf_mask,
+        method=_encode_frames_pool_method)
+    text_emb = model.apply(params, batch["question_ids"],
+                           method=_llama_embed_method)
+    embeds = jnp.concatenate([visual.astype(text_emb.dtype), text_emb], 1)
+    vis_mask = jnp.ones(visual.shape[:2], batch["question_mask"].dtype)
+    mask = jnp.concatenate([vis_mask, batch["question_mask"]], axis=1)
+    return llama_generate_from_embeds(model, params, embeds, mask,
+                                      decode_config, key, stop_sequences)
+
+
+def _llama_embed_method(mdl: VideoTGB, ids):
+    return mdl.model.language_model.embed(ids)
 
 
 def _encode_frames_pool_method(mdl: VideoTGB, flat, groups, qf_ids=None,
@@ -641,12 +702,13 @@ def llama_generate_from_embeds(
     if beams > 1:
         llm_cfg = model.config.instructblip.llm
         cache_axis = 1 if llm_cfg.scan_layers else 0
-        # HF normalizes decoder-only beam scores by the full input_ids
-        # length (prompt included), so the penalty offset is the padded
-        # prompt length rather than the encoder-decoder start token's 1
+        # transformers >= 4.33 normalizes decoder-only beam scores by
+        # generated length only (score / (cur_len + 1 - decoder_prompt_len)),
+        # i.e. the same offset-1 semantics as the encoder-decoder path — the
+        # old full-input_ids normalization was removed upstream
         out = beam_search(step_fn, caches, jnp.zeros((b_orig,), jnp.int32),
                           decode_config, cache_batch_axis=cache_axis,
-                          penalty_length_offset=s)
+                          penalty_length_offset=1)
     else:
         start = jnp.zeros((b,), jnp.int32)  # placeholder; cond replays t=0
         out = decode(step_fn, caches, start, decode_config, key=decode_key,

@@ -181,10 +181,11 @@ def beam_search(
 
     ``cache_batch_axis``: which axis of every cache leaf carries the batch
     (1 for scan_layers models whose caches stack a leading layer axis).
-    ``penalty_length_offset``: tokens already in the sequence before the
-    first generated one — 1 for encoder-decoder (the decoder start token),
-    the padded prompt length for decoder-only models (HF normalizes by full
-    input_ids length).
+    ``penalty_length_offset``: normalization offset such that a hypothesis
+    finishing at step t is scored sum_logprobs / (t + offset)**length_penalty.
+    transformers >= 4.33 normalizes by generated length only
+    (cur_len + 1 - decoder_prompt_len) for BOTH encoder-decoder and
+    decoder-only models, so the offset is 1 in either case.
     """
     cfg = config
     b = start_tokens.shape[0]
@@ -255,9 +256,12 @@ def beam_search(
         tokens = tokens.at[:, t].set(nxt)
         scores = new_scores.reshape(-1)
 
-        # HF BeamHypotheses.is_done (early_stopping=False): stop once no live
-        # continuation can beat the worst of k done hypotheses
-        best_possible = top_scores[:, 0] / pen
+        # HF early-stop heuristic (early_stopping=False): stop once the best
+        # *live* beam's score, normalized at the current length, can no
+        # longer beat the worst of k done hypotheses (transformers
+        # _check_early_stop_heuristic uses running_beam_scores[:, :1] — the
+        # surviving non-EOS beams, not the raw top candidate)
+        best_possible = new_scores[:, 0] / pen
         b_done = b_done | ((d_count >= k) & (jnp.min(d_scores, axis=1) >= best_possible))
         return t + 1, nxt, caches, tokens, scores, d_scores, d_tokens, d_count, b_done
 
@@ -266,9 +270,12 @@ def beam_search(
     (t, _, _, tokens, scores, d_scores, d_tokens, d_count, b_done) = (
         jax.lax.while_loop(cond, body, state))
 
-    # finalize (HF BeamSearchScorer.finalize): live beams of unfinished
-    # samples join the done set at horizon-length-penalized score
-    pen = jnp.float32(t + penalty_length_offset) ** cfg.length_penalty
+    # finalize: live beams of unfinished samples join the done set. In HF's
+    # vectorized beam search, hitting max_length counts as a stopping
+    # criterion *inside* the last step, so horizon hypotheses normalize by
+    # the same (cur_len + 1 - decoder_prompt_len) = T as that step's EOS
+    # retirements — hence t - 1 + offset, not t + offset.
+    pen = jnp.float32(t - 1 + penalty_length_offset) ** cfg.length_penalty
     scores_bk = scores.reshape(b, k)
     tokens_bk = tokens.reshape(b, k, T)
     for s in range(k):

@@ -110,19 +110,27 @@ class ServingEngine:
         import jax
 
         from videotgb_tpu.models.videotgb import (
-            answer_phase_blip2, select_phase_blip2)
+            answer_phase_blip2, answer_phase_instructblip, select_phase_blip2)
         from videotgb_tpu.ops.decode import DecodeConfig
 
-        dcfg = DecodeConfig(
-            max_new_tokens=self.max_new_tokens,
-            eos_token_id=self.cfg.blip2.t5.eos_token_id,
-            pad_token_id=self.cfg.blip2.t5.pad_token_id,
-        )
+        decoder_only = self.cfg.backbone == "instructblip"
+        if decoder_only:
+            lm = self.cfg.instructblip.llm
+            eos_id, pad_id = lm.eos_token_id, lm.pad_token_id
+            mode = "multi_modal"  # Vicuna TGB mode (eval/utils/model.py:92-100)
+            answer_phase = answer_phase_instructblip
+        else:
+            eos_id = self.cfg.blip2.t5.eos_token_id
+            pad_id = self.cfg.blip2.t5.pad_token_id
+            mode = "fusion"
+            answer_phase = answer_phase_blip2
+        dcfg = DecodeConfig(max_new_tokens=self.max_new_tokens,
+                            eos_token_id=eos_id, pad_token_id=pad_id)
         self._select = jax.jit(
             lambda p, flow_u8, bd, k: select_phase_blip2(
-                self.model, p, flow_u8, bd, k))
+                self.model, p, flow_u8, bd, k, mode=mode))
         self._answer = jax.jit(
-            lambda p, sel, bd, k: answer_phase_blip2(
+            lambda p, sel, bd, k: answer_phase(
                 self.model, p, sel, bd, dcfg, k))
 
     # --------------------------------------------------------------- submit
@@ -140,7 +148,9 @@ class ServingEngine:
         from videotgb_tpu.data.transforms import resize_video
         from videotgb_tpu.data.video_io import read_video_cv2, sample_frames
 
-        image = self.cfg.blip2.vit.image_size
+        vit_cfg = (self.cfg.blip2.vit if self.cfg.blip2 is not None
+                   else self.cfg.instructblip.vit)
+        image = vit_cfg.image_size
         fs = self.cfg.tgb.flow_size
         raw, _ = read_video_cv2(video_path, num_frames=self.cfg.num_frames,
                                 size=(max(image, fs),) * 2)
@@ -255,7 +265,7 @@ def main(argv=None):
     p.add_argument("--sampler_base", default=None,
                    help="TGB sampler tokenizer dir")
     p.add_argument("--backbone", default="blip2",
-                   choices=["blip2", "instructblip_t5"])
+                   choices=["blip2", "instructblip_t5", "instructblip"])
     args = p.parse_args(argv)
 
     engine = ServingEngine(
@@ -295,7 +305,15 @@ def main(argv=None):
                 f.write(video_bytes)
                 path = f.name
             try:
-                reply = engine.submit_video(path, question).result(timeout=600)
+                try:
+                    reply = engine.submit_video(path, question).result(
+                        timeout=600)
+                except Exception as e:  # batch failure / timeout -> 500 JSON
+                    self.send_response(500)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(json.dumps({"error": str(e)}).encode())
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()

@@ -184,6 +184,7 @@ def evaluate_generative(model, recipe, state, loader, tok,
         pad_token_id=t5cfg.pad_token_id if t5cfg else 0,
     )
     loss_state = M.mean_init()
+    loss_batches = 0
     preds: list[str] = []
     targets: list[str] = []
     params = ({"params": state.params} if "params" not in state.params
@@ -199,6 +200,7 @@ def evaluate_generative(model, recipe, state, loader, tok,
             loss, _ = recipe.loss_fn(model, state.params, db, jax.random.key(0),
                                      deterministic=True)
             loss_state = M.mean_update(loss_state, loss)
+            loss_batches += 1
         # both backbones generate for val/score, matching the reference's
         # eval_forward (LSTP_module.py:379-408 generates for blip2 AND the
         # Vicuna instructblip variant) so checkpoint selection never degrades
@@ -211,7 +213,10 @@ def evaluate_generative(model, recipe, state, loader, tok,
         preds.extend(tok.batch_decode(np.asarray(tokens),
                                       skip_special_tokens=True))
         targets.extend(a.replace(" </s>", "") for a in batch["_text_answer"])
-    out = {"val/loss": float(M.mean_compute(loss_state))}
+    # no val/loss key when no batch had a computable loss (SF without pseudo
+    # scores) — a logged 0.0 would masquerade as a perfect loss
+    out = ({"val/loss": float(M.mean_compute(loss_state))}
+           if loss_batches else {})
     if preds:
         out["val/score"] = M.bleu1(preds, targets)
     return out
