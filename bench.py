@@ -178,6 +178,19 @@ def main() -> None:
         cfg = _scan_layers(cfg, towers=("vit",))
     if os.environ.get("BENCH_FAST_ACT", "1") == "1":
         cfg = _fast_act(cfg)
+    if os.environ.get("BENCH_INT8", "1") == "1":
+        # serving path: the frozen ViT-g's projections/MLP on the int8 MXU
+        # (~2x bf16 rate on v5e; ops/quant.py W8A8 dynamic, parity-gated by
+        # tests/test_quant.py). BENCH_INT8=0 restores the exact bf16 tower.
+        import dataclasses
+
+        def repq(bb):
+            return (dataclasses.replace(
+                bb, vit=dataclasses.replace(bb.vit, quant="int8"))
+                if bb is not None else None)
+
+        cfg = dataclasses.replace(cfg, blip2=repq(cfg.blip2),
+                                  instructblip=repq(cfg.instructblip))
     if os.environ.get("BENCH_RAFT_BF16", "1") == "1":
         # reference-faithful: Lightning precision=bf16 autocasts RAFT's convs
         # (configs/experiment/*:24); norms and flow accumulation stay f32
@@ -298,9 +311,13 @@ def main() -> None:
     sel_frames_np = np.stack([all_u8[i, sel_idx[i]] for i in range(batch)])
     _ = np.asarray(answer(params, jnp.asarray(sel_frames_np), batch_dev, key))
 
-    # double-buffered: a decode thread prepares batch N+1 while batch N runs
-    # the two device phases + transfers (the main thread is blocked on the
-    # tunnel/device most of the time, freeing the core for cv2)
+    # three-stage overlapped pipeline (fixed iteration count — reproducible):
+    #   stage D (thread): cv2-decode batch N+2
+    #   stage S (thread): phase-1 select + host gather + upload for batch N+1
+    #   main:             phase-2 answer for batch N (device + tunnel waits
+    #                     release the GIL, so D and S own the core meanwhile)
+    # vs the r2 two-stage loop, the 36 MB select-gather/upload of N+1 now
+    # hides under N's answer-phase device time instead of serializing with it
     from concurrent.futures import ThreadPoolExecutor
 
     def decode_batch():
@@ -309,22 +326,33 @@ def main() -> None:
         return (np.stack([d[0] for d in decoded]),   # (B, 32, H, W, 3) u8
                 np.stack([d[1] for d in decoded]))   # (B, L+1, hf, wf, 3) u8
 
-    n_pipe = max(iters, 3)
-    prefetcher = ThreadPoolExecutor(1)
-    t0 = time.perf_counter()
-    fut = prefetcher.submit(decode_batch)
-    for it in range(n_pipe):
-        k = jax.random.fold_in(key, 2000 + it)
-        all_frames, fl_np = fut.result()
-        if it + 1 < n_pipe:
-            fut = prefetcher.submit(decode_batch)
+    def stage_select(decoded, k):
+        all_frames, fl_np = decoded
         fl = jnp.asarray(fl_np)
         sel_idx = np.asarray(prep(params, fl, batch_dev, k))  # tiny fetch
         sel = np.stack([all_frames[i, sel_idx[i]] for i in range(batch)])
-        tokens = answer(params, jnp.asarray(sel), batch_dev, k)
-        _ = np.asarray(tokens)
+        return jnp.asarray(sel)  # ship ONLY the selected frames
+
+    n_pipe = int(os.environ.get("BENCH_E2E_ITERS", "4"))
+    dec_pool = ThreadPoolExecutor(1)
+    sel_pool = ThreadPoolExecutor(1)
+    t0 = time.perf_counter()
+    dec_fut = dec_pool.submit(decode_batch)
+    pending_tokens = None
+    for it in range(n_pipe):
+        k = jax.random.fold_in(key, 2000 + it)
+        decoded = dec_fut.result()
+        if it + 1 < n_pipe:  # lookahead depth 1 bounds host RAM (~300 MB/batch)
+            dec_fut = dec_pool.submit(decode_batch)
+        sel_fut = sel_pool.submit(stage_select, decoded, k)
+        if pending_tokens is not None:
+            _ = np.asarray(pending_tokens)  # sync N-1 while S/D stages run
+        sel = sel_fut.result()
+        pending_tokens = answer(params, sel, batch_dev, k)  # async dispatch
+    _ = np.asarray(pending_tokens)
     pipeline_s = (time.perf_counter() - t0) / n_pipe
-    prefetcher.shutdown(wait=False)
+    dec_pool.shutdown(wait=False)
+    sel_pool.shutdown(wait=False)
 
     clip_latency_s = device_s / batch + decode_s
     total_frames = batch * num_frames

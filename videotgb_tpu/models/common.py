@@ -29,6 +29,32 @@ KVCache = dict[str, jax.Array]  # {"k": (B,H,Smax,D), "v": (B,H,Smax,D)}
 default_kernel_init = nn.initializers.normal(stddev=0.02)
 
 
+class QuantDense(nn.Module):
+    """Drop-in nn.Dense with the matmul on the int8 MXU (ops.quant W8A8
+    dynamic). Identical parameter structure/names to nn.Dense, so existing
+    checkpoints and converters load unchanged; serving-only (no custom vjp)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from videotgb_tpu.ops.quant import int8_matmul
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), self.param_dtype)
+        y = int8_matmul(x.astype(self.dtype), kernel.astype(self.dtype),
+                        out_dtype=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def dense(
     features: int,
     axes: tuple[str | None, ...],
@@ -37,7 +63,17 @@ def dense(
     param_dtype: Dtype = jnp.float32,
     kernel_init: Callable = default_kernel_init,
     name: str | None = None,
-) -> nn.Dense:
+    quant: str | None = None,
+) -> nn.Module:
+    if quant == "int8":
+        return QuantDense(
+            features,
+            use_bias=use_bias,
+            dtype=dtype,
+            param_dtype=param_dtype,
+            kernel_init=nn.with_partitioning(kernel_init, axes),
+            name=name,
+        )
     return nn.Dense(
         features,
         use_bias=use_bias,
@@ -146,6 +182,8 @@ class MultiHeadAttention(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_targets: tuple = ("q", "v")
+    # "int8" routes the q/k/v/o projections through the int8 MXU (serving)
+    quant: str | None = None
 
     @nn.compact
     def __call__(
@@ -183,6 +221,7 @@ class MultiHeadAttention(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=name,
+                quant=self.quant,
             )(x)
             if self.lora_rank > 0 and name in self.lora_targets:
                 from videotgb_tpu.models.lora import LoRADelta
@@ -238,6 +277,7 @@ class MultiHeadAttention(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="o",
+            quant=self.quant,
         )(ctx)
         return out, new_cache
 
@@ -251,6 +291,7 @@ class Mlp(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str | None = None  # "int8" -> serving W8A8 matmuls
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -263,7 +304,8 @@ class Mlp(nn.Module):
             "relu": nn.relu,
             "silu": nn.silu,
         }[self.act]
-        kw = dict(use_bias=self.use_bias, dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(use_bias=self.use_bias, dtype=self.dtype,
+                  param_dtype=self.param_dtype, quant=self.quant)
         h = act(dense(self.hidden, ("embed", "mlp"), name="wi", **kw)(x))
         if self.gated:
             h = h * dense(self.hidden, ("embed", "mlp"), name="wi_1", **kw)(x)

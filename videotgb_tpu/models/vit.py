@@ -48,6 +48,11 @@ class ViTConfig:
     # unrolled copies (compile time/HLO size ~1/depth); params gain a
     # leading "layers" axis (training.convert stacks checkpoints to match)
     scan_layers: bool = False
+    # "int8": serving-only W8A8 dynamic quantization of the qkv/o/MLP
+    # matmuls (ops.quant) — ~2x MXU rate on v5e; attention score/value
+    # einsums stay bf16 (flash kernel). The tower is frozen in every recipe,
+    # so there is no training interaction.
+    quant: Any = None
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -120,13 +125,14 @@ class ViTLayer(nn.Module):
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
             bias_grad=False,  # pad-token mask only
+            quant=cfg.quant,
             name="attn",
         )(h, bias=bias)
         x = x + attn
         h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, cfg.param_dtype, name="ln2")(x)
         x = x + Mlp(
             cfg.intermediate_size, act=cfg.act, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name="mlp",
+            param_dtype=cfg.param_dtype, quant=cfg.quant, name="mlp",
         )(h)
         return x
 
