@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import collections
+import functools
 import glob
 import gzip
 import json
@@ -119,28 +120,34 @@ def build(which: str, batch: int, max_new: int):
     params = nn.meta.unbox(variables)
     jax.block_until_ready(params)
 
+    # params MUST flow in as a jit argument: closing over them bakes ~3.4 GB
+    # of constants into the HLO, which the remote compile service has to
+    # ingest over the tunnel (>25 min observed) and which defeats the
+    # persistent compile cache.
     if which == "raft":
-        fn = jax.jit(lambda: jnp.sum(model.apply(
-            params, flow_rgb, method=model.flow_features).astype(jnp.float32)))
-        return fn
+        fn = jax.jit(lambda p: jnp.sum(model.apply(
+            p, flow_rgb, method=model.flow_features).astype(jnp.float32)))
+        return functools.partial(fn, params)
     if which == "vit":
         cand = jnp.tile(jnp.arange(cfg.nframe, dtype=jnp.int32)[None], (batch, 1))
-        return jax.jit(lambda: jnp.sum(model.apply(
-            params, bd["frames"], cand, True,
+        fn = jax.jit(lambda p: jnp.sum(model.apply(
+            p, bd["frames"], cand, True,
             method=model.encode_selected).astype(jnp.float32)))
+        return functools.partial(fn, params)
     if which == "decode":
-        flow = jax.jit(lambda: model.apply(
-            params, flow_rgb, method=model.flow_features))()
-        enc_hidden, enc_mask, _ = jax.jit(lambda: model.apply(
-            params, bd["frames"], flow, bd["flow_mask"], bd["video_length"],
+        flow = jax.jit(lambda p: model.apply(
+            p, flow_rgb, method=model.flow_features))(params)
+        enc_hidden, enc_mask, _ = jax.jit(lambda p: model.apply(
+            p, bd["frames"], flow, bd["flow_mask"], bd["video_length"],
             bd["sampler_question_ids"], bd["sampler_question_mask"],
             bd["question_ids"], bd["question_mask"], key,
-            method=model.prepare_t5_inference))()
+            method=model.prepare_t5_inference))(params)
         jax.block_until_ready((enc_hidden, enc_mask))
         dcfg = DecodeConfig(max_new_tokens=max_new, eos_token_id=-1,
                             pad_token_id=0)
-        return jax.jit(lambda: t5_generate_from_encoder(
-            model, params, enc_hidden, enc_mask, dcfg, key))
+        fn = jax.jit(lambda p: t5_generate_from_encoder(
+            model, p, enc_hidden, enc_mask, dcfg, key))
+        return functools.partial(fn, params)
     raise SystemExit(which)
 
 
