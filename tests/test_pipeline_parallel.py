@@ -197,3 +197,61 @@ def test_pipeline_transformer_layer():
         place_pipeline_params(stacked, mesh, "pp"), x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_t5_tower_pipelines_under_pp_mesh():
+    """The scanned T5 tower routes encode AND the teacher-forced decode
+    through pipeline_apply inside a pp>1 mesh — loss and grads must match
+    the sequential scan (the Flan-T5 analogue of the LLaMA wiring above)."""
+    import dataclasses
+
+    from flax import linen as nn
+    from jax.sharding import NamedSharding
+
+    from videotgb_tpu.models.t5 import T5Config, T5Model
+    from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
+    from videotgb_tpu.parallel.sharding import param_partition_spec
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(MeshConfig(dp=4, fsdp=1, tp=1, pp=2))
+    cfg = dataclasses.replace(T5Config.tiny(), scan_layers=True,
+                              dtype=jnp.float32, param_dtype=jnp.float32)
+    model = T5Model(cfg)
+    rng = np.random.default_rng(0)
+    b, s_enc, s_dec = 8, 10, 6
+    enc_ids = jnp.asarray(rng.integers(3, 60, (b, s_enc)))
+    enc_mask = jnp.asarray((rng.random((b, s_enc)) > 0.2).astype(np.float32))
+    enc_mask = enc_mask.at[:, 0].set(1.0)
+    dec_ids = jnp.asarray(rng.integers(3, 60, (b, s_dec)))
+    boxed = model.init(jax.random.key(0),
+                       jnp.zeros((b, s_enc, cfg.d_model)), enc_mask, dec_ids)
+    params = nn.meta.unbox(boxed)["params"]
+
+    def fwd(p):
+        hidden = model.apply({"params": p}, model.apply(
+            {"params": p}, enc_ids, method=model.embed), enc_mask,
+            method=model.encode)
+        logits, _ = model.apply({"params": p}, dec_ids, hidden, enc_mask,
+                                method=model.decode)
+        return logits
+
+    def loss(p):
+        return jnp.mean(fwd(p) ** 2)
+
+    ref_logits = fwd(params)
+    ref_loss, ref_grads = jax.value_and_grad(loss)(params)
+
+    specs = param_partition_spec(boxed["params"])
+    params_pp = jax.tree.map(
+        lambda x_, s_: jax.device_put(x_, NamedSharding(mesh, s_)),
+        params, specs)
+    with mesh:
+        pp_logits = jax.jit(fwd)(params_pp)
+        pp_loss, pp_grads = jax.jit(jax.value_and_grad(loss))(params_pp)
+    np.testing.assert_allclose(np.asarray(pp_logits), np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    for a, g in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(pp_grads)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)

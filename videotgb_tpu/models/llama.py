@@ -72,13 +72,9 @@ class LlamaConfig:
 
 def _pp_mesh():
     """The active mesh when it has a pp axis > 1 (else None)."""
-    from videotgb_tpu.parallel.sharding import active_mesh
+    from videotgb_tpu.parallel.pipeline import active_pp_mesh
 
-    mesh = active_mesh()
-    if (mesh is not None and "pp" in mesh.axis_names
-            and mesh.shape["pp"] > 1):
-        return mesh
-    return None
+    return active_pp_mesh()
 
 
 class LlamaBlock(nn.Module):

@@ -279,6 +279,41 @@ class T5Model(nn.Module):
     def embed(self, input_ids: jax.Array) -> jax.Array:
         return self.shared(input_ids)
 
+    def _active_pp(self):
+        """pp>1 mesh in scope (trace time), except during init."""
+        if self.is_initializing():
+            return None
+        from videotgb_tpu.parallel.pipeline import active_pp_mesh
+
+        return active_pp_mesh()
+
+    def _pipeline_stack(self, mesh, collection: str, is_decoder: bool,
+                        tree: tuple):
+        """Pipeline-parallel layer stack (mirrors LlamaModel._pipeline_forward):
+        the scanned tower's stacked params split into contiguous stages over
+        the mesh's pp axis, microbatches streamed between neighbours.
+        Numerically identical to the sequential scan; used for the no-cache
+        (training / scoring / encode) passes — decode keeps the sequential
+        path. tree = (x, *side_inputs); every element is broadcast to a
+        leading batch dim so it streams with the microbatch."""
+        from videotgb_tpu.parallel.pipeline import pipeline_apply
+
+        cfg = self.config
+        b = tree[0].shape[0]
+        stacked = self.variables["params"][collection]["block"]
+        tree = tuple(
+            t if t.shape[0] == b else jnp.broadcast_to(t, (b, *t.shape[1:]))
+            for t in tree
+        )
+        block = T5Block(cfg, is_decoder=is_decoder, parent=None)
+
+        def layer_fn(p, t):
+            h2, _ = block.apply({"params": p}, t[0], *t[1:])
+            return (h2, *t[1:])
+
+        out = pipeline_apply(layer_fn, stacked, tree, mesh)
+        return out[0]
+
     def encode(
         self, inputs_embeds: jax.Array, attention_mask: jax.Array
     ) -> jax.Array:
@@ -291,7 +326,17 @@ class T5Model(nn.Module):
 
         x = constrain_batch(inputs_embeds.astype(cfg.dtype))
         if cfg.scan_layers:
-            x, _ = self.encoder_scan(x, bias)
+            pp_mesh = self._active_pp()
+            piped = False
+            if pp_mesh is not None:
+                try:  # ValueError = batch/layers don't divide -> sequential
+                    x = self._pipeline_stack(pp_mesh, "encoder_layers",
+                                             False, (x, bias))
+                    piped = True
+                except ValueError:
+                    piped = False
+            if not piped:
+                x, _ = self.encoder_scan(x, bias)
         else:
             for block in self.encoder_blocks:
                 x, _ = block(x, bias)
@@ -340,8 +385,19 @@ class T5Model(nn.Module):
                 self_bias = self_bias + make_padding_bias(decoder_mask)
             new_caches = None
             if cfg.scan_layers:
-                x, _ = self.decoder_scan(x, None, self_bias, encoder_hidden,
-                                         cross_bias, None)
+                pp_mesh = self._active_pp()
+                piped = False
+                if pp_mesh is not None:
+                    try:
+                        x = self._pipeline_stack(
+                            pp_mesh, "decoder_layers", True,
+                            (x, self_bias, encoder_hidden, cross_bias))
+                        piped = True
+                    except ValueError:
+                        piped = False
+                if not piped:
+                    x, _ = self.decoder_scan(x, None, self_bias,
+                                             encoder_hidden, cross_bias, None)
             else:
                 for block in self.decoder_blocks:
                     x, _ = block(x, self_bias, encoder_hidden, cross_bias)

@@ -141,6 +141,21 @@ def pipeline_apply(
     return fn(stacked_params, x)
 
 
+def active_pp_mesh(axis: str = "pp") -> Mesh | None:
+    """The ambient mesh when it has a ``pp`` axis of size > 1 (else None).
+
+    Towers use this to decide at trace time whether their scanned layer
+    stack should route through ``pipeline_apply`` (models/llama.py,
+    models/t5.py)."""
+    from videotgb_tpu.parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if (mesh is not None and axis in mesh.axis_names
+            and mesh.shape[axis] > 1):
+        return mesh
+    return None
+
+
 def place_pipeline_params(stacked_params: Any, mesh: Mesh, axis: str = "pp"):
     """Device-put stacked layer params with the layer axis sharded over
     ``axis`` (stage s holds its contiguous layer block)."""
