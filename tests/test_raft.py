@@ -173,3 +173,18 @@ def test_raft_bf16_close_to_f32(rng):
     scale = np.abs(f32).mean() + 1e-3
     rel = np.abs(f16 - f32).mean() / scale
     assert rel < 0.15, rel
+
+
+def test_raft_consecutive_matches_pairwise(rng):
+    """consecutive() dedups the feature encoder over shared frames; it must
+    be exactly the stacked pairwise __call__ result (instance norm is
+    per-image, so sharing fnet outputs changes nothing)."""
+    cfg = RAFTConfig.tiny()
+    model = RAFT(cfg)
+    frames = jnp.asarray(rng.integers(0, 255, (2, 4, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), frames[:, 0], frames[:, 1])
+    fast = np.asarray(model.apply(params, frames, method=model.consecutive))
+    assert fast.shape == (2, 3, 64, 64, 2)
+    for i in range(3):
+        ref = np.asarray(model.apply(params, frames[:, i], frames[:, i + 1]))
+        np.testing.assert_allclose(fast[:, i], ref, atol=1e-5)

@@ -66,7 +66,12 @@ def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
 
 class InstanceNorm(nn.Module):
     """InstanceNorm2d(affine=False) over NHWC spatial dims. Statistics are
-    f32 regardless of compute dtype (torch autocast keeps norms in f32)."""
+    f32 regardless of compute dtype (torch autocast keeps norms in f32).
+
+    Single read pass: E[x] and E[x^2] reduce together in one f32 fusion —
+    jnp.var's mean-then-deviations form is two sequential passes over the
+    (B, H, W, C) stream (models/common.py LayerNorm carries the measured
+    rationale; at 112x112x64 these are the biggest tensors in the model)."""
 
     eps: float = 1e-5
 
@@ -74,7 +79,8 @@ class InstanceNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        meansq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         return ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
 
 
@@ -247,32 +253,50 @@ def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
 
 class RAFT(nn.Module):
     """Returns the final upsampled flow (B, H, W, 2), matching
-    forward(..., test_mode=True) (xraft.py:102-158)."""
+    forward(..., test_mode=True) (xraft.py:102-158).
+
+    Entry points:
+      * ``__call__(image1, image2)`` — reference-shaped pairwise API;
+      * ``consecutive(frames)`` — (B, L, H, W, 3) -> all L-1 consecutive-pair
+        flows. The feature encoder runs ONCE over the B*L unique frames
+        instead of twice per pair (consecutive pairs share every interior
+        frame — 2L-2 vs L encoder images); instance norm is per-image so the
+        shared-frame feature maps are bit-identical to the pairwise path.
+    """
 
     config: RAFTConfig = RAFTConfig()
 
-    @nn.compact
-    def __call__(self, image1: jax.Array, image2: jax.Array) -> jax.Array:
+    def setup(self) -> None:
         cfg = self.config
-        image1 = 2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0
-        image2 = 2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0
+        self.fnet = BasicEncoder(cfg.fnet_dim, "instance", dtype=cfg.dtype)
+        self.cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim, "batch",
+                                 dtype=cfg.dtype)
+        self._fused = (cfg.fused_lookup if cfg.fused_lookup is not None
+                       else jax.default_backend() not in ("cpu",))
+        # 20 shared-weight GRU iterations as a single scanned program
+        # (compile-time stays constant in iteration count)
+        self.update_block = nn.scan(
+            _UpdateIteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=cfg.iters,
+        )(cfg, self._fused)
 
-        fnet = BasicEncoder(cfg.fnet_dim, "instance", dtype=cfg.dtype, name="fnet")
-        # one batched pass over both images (the reference's
-        # fnet([image1, image2]), xraft.py:118) — instance norm is per-image
-        # so results are identical, and the conv pipeline runs once at 2x
-        # batch instead of twice
-        both = fnet(jnp.concatenate([image1, image2], axis=0))
-        fmap1, fmap2 = jnp.split(both, 2, axis=0)
-        fused = (cfg.fused_lookup if cfg.fused_lookup is not None
-                 else jax.default_backend() not in ("cpu",))
-        if fused:
+    @staticmethod
+    def _normalize(image: jax.Array) -> jax.Array:
+        return 2.0 * (image.astype(jnp.float32) / 255.0) - 1.0
+
+    def _refine(self, fmap1: jax.Array, fmap2: jax.Array,
+                image1: jax.Array) -> jax.Array:
+        """Correlation pyramid + context net + scanned GRU refinement.
+        ``image1`` is the already-normalized first image of each pair."""
+        cfg = self.config
+        if self._fused:
             pyramid = build_corr_pyramid_t(fmap1, fmap2, cfg.corr_levels)
         else:
             pyramid = build_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
 
-        cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim, "batch",
-                            dtype=cfg.dtype, name="cnet")(image1)
+        cnet = self.cnet(image1)
         net = jnp.tanh(cnet[..., : cfg.hidden_dim]).astype(cfg.dtype)
         inp = nn.relu(cnet[..., cfg.hidden_dim :]).astype(cfg.dtype)
 
@@ -281,16 +305,36 @@ class RAFT(nn.Module):
                               jnp.arange(w8, dtype=jnp.float32), indexing="ij")
         coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (b, h8, w8, 2))
 
-        # 20 shared-weight GRU iterations as a single scanned program
-        # (compile-time stays constant in iteration count)
-        scan = nn.scan(
-            _UpdateIteration,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            length=cfg.iters,
-        )
         mask0 = jnp.zeros((b, h8, w8, 64 * 9), cfg.dtype)
         carry0 = (net, coords0, mask0, inp, coords0, tuple(pyramid))
-        (net, coords1, mask, *_), _ = scan(
-            cfg, fused, name="update_block")(carry0, None)
+        (net, coords1, mask, *_), _ = self.update_block(carry0, None)
         return convex_upsample(coords1 - coords0, mask.astype(jnp.float32))
+
+    def __call__(self, image1: jax.Array, image2: jax.Array) -> jax.Array:
+        image1 = self._normalize(image1)
+        image2 = self._normalize(image2)
+        # one batched pass over both images (the reference's
+        # fnet([image1, image2]), xraft.py:118) — instance norm is per-image
+        # so results are identical, and the conv pipeline runs once at 2x
+        # batch instead of twice
+        both = self.fnet(jnp.concatenate([image1, image2], axis=0))
+        fmap1, fmap2 = jnp.split(both, 2, axis=0)
+        return self._refine(fmap1, fmap2, image1)
+
+    def consecutive(self, frames: jax.Array) -> jax.Array:
+        """(B, L, H, W, 3) uint8/float RGB -> (B, L-1, H, W, 2) flows between
+        consecutive frames, exactly pairwise-equal to
+        ``__call__(frames[:, i], frames[:, i+1])`` stacked over i."""
+        b, l = frames.shape[:2]
+        imgs = self._normalize(frames)
+        flat = imgs.reshape(b * l, *imgs.shape[2:])
+        fmaps = self.fnet(flat).reshape(b, l, *self.fnet_out_shape(imgs))
+        fmap1 = fmaps[:, :-1].reshape(b * (l - 1), *fmaps.shape[2:])
+        fmap2 = fmaps[:, 1:].reshape(b * (l - 1), *fmaps.shape[2:])
+        image1 = imgs[:, :-1].reshape(b * (l - 1), *imgs.shape[2:])
+        flow = self._refine(fmap1, fmap2, image1)
+        return flow.reshape(b, l - 1, *flow.shape[1:])
+
+    def fnet_out_shape(self, imgs: jax.Array) -> tuple[int, int, int]:
+        h, w = imgs.shape[-3] // 8, imgs.shape[-2] // 8
+        return (h, w, self.config.fnet_dim)

@@ -149,13 +149,12 @@ class VideoTGB(nn.Module):
         """flow_frames (B, L, H, W, 3) in [0, 255] -> (B, L, H, W, 2).
 
         Pairwise flow between consecutive frames, last repeated so the count
-        matches the frame count (eval/utils/model.py:294-303).
+        matches the frame count (eval/utils/model.py:294-303). Uses the
+        shared-frame ``RAFT.consecutive`` path: the feature encoder runs once
+        over the L unique frames instead of 2(L-1) pair images (bit-identical
+        — instance norm is per-image).
         """
-        b, l = flow_frames.shape[:2]
-        img1 = flow_frames[:, :-1].reshape(b * (l - 1), *flow_frames.shape[2:])
-        img2 = flow_frames[:, 1:].reshape(b * (l - 1), *flow_frames.shape[2:])
-        flow = self.of_extractor(img1, img2)
-        flow = flow.reshape(b, l - 1, *flow.shape[1:])
+        flow = self.of_extractor.consecutive(flow_frames)
         return jnp.concatenate([flow, flow[:, -1:]], axis=1)
 
     def flow_features(self, flow_frames: jax.Array) -> jax.Array:
