@@ -317,47 +317,80 @@ def main() -> None:
     _ = np.asarray(answer(params, jnp.asarray(sel_frames_np), batch_dev, key))
 
     # three-stage overlapped pipeline (fixed iteration count — reproducible):
-    #   stage D (thread): cv2-decode batch N+2
-    #   stage S (thread): phase-1 select + host gather + upload for batch N+1
-    #   main:             phase-2 answer for batch N (device + tunnel waits
-    #                     release the GIL, so D and S own the core meanwhile)
-    # vs the r2 two-stage loop, the 36 MB select-gather/upload of N+1 now
-    # hides under N's answer-phase device time instead of serializing with it
+    #   stage D (thread): cv2-decode batch N+2 (owns the single core)
+    #   stage S (thread): phase-1 flow upload + select + host gather + upload
+    #                     of batch N+1 — runs WHILE phase-2 of batch N
+    #                     executes on device (answer is dispatched first, so
+    #                     the select fetch queues behind it and the tunnel
+    #                     work hides under device time)
+    #   main:             dispatch phase-2 answer for batch N, then sync N-1
+    # pipeline_batch_ms is the median steady-state iteration period (the
+    # fill — first decode+select — is primed outside the timed window).
     from concurrent.futures import ThreadPoolExecutor
 
+    dbg = os.environ.get("BENCH_E2E_DEBUG") == "1"
+
     def decode_batch():
+        t0 = time.perf_counter()
         decoded = [decode_clip_uint8(video_path, num_frames, flow_frames + 1,
                                      image, flow_size) for _ in range(batch)]
-        return (np.stack([d[0] for d in decoded]),   # (B, 32, H, W, 3) u8
-                np.stack([d[1] for d in decoded]))   # (B, L+1, hf, wf, 3) u8
+        out = (np.stack([d[0] for d in decoded]),   # (B, 32, H, W, 3) u8
+               np.stack([d[1] for d in decoded]))   # (B, L+1, hf, wf, 3) u8
+        if dbg:
+            print(f"[e2e] decode_batch {time.perf_counter()-t0:.2f}s",
+                  flush=True)
+        return out
 
-    def stage_select(decoded, k):
-        all_frames, fl_np = decoded
-        fl = jnp.asarray(fl_np)
+    def stage_select(dec_fut, k):
+        t0 = time.perf_counter()
+        all_frames, fl_np = dec_fut.result()
+        t1 = time.perf_counter()
+        fl = jnp.asarray(fl_np)                     # flow upload (tunnel)
         sel_idx = np.asarray(prep(params, fl, batch_dev, k))  # tiny fetch
+        t2 = time.perf_counter()
         sel = np.stack([all_frames[i, sel_idx[i]] for i in range(batch)])
-        return jnp.asarray(sel)  # ship ONLY the selected frames
+        out = jnp.asarray(sel)                      # ship ONLY selected frames
+        if dbg:
+            print(f"[e2e] select: dec_wait {t1-t0:.2f}s "
+                  f"upload+prep {t2-t1:.2f}s gather+upload "
+                  f"{time.perf_counter()-t2:.2f}s", flush=True)
+        return out
 
-    n_pipe = int(os.environ.get("BENCH_E2E_ITERS", "4"))
+    n_pipe = int(os.environ.get("BENCH_E2E_ITERS", "5"))
     dec_pool = ThreadPoolExecutor(1)
     sel_pool = ThreadPoolExecutor(1)
-    t0 = time.perf_counter()
+    # prime: decode+select batch 0 outside the timed window (pipeline fill)
     dec_fut = dec_pool.submit(decode_batch)
+    sel_fut = sel_pool.submit(
+        stage_select, dec_fut, jax.random.fold_in(key, 2000))
+    dec_fut = dec_pool.submit(decode_batch)         # batch 1 decode-ahead
     pending_tokens = None
+    marks = []
+    t0 = time.perf_counter()
     for it in range(n_pipe):
         k = jax.random.fold_in(key, 2000 + it)
-        decoded = dec_fut.result()
-        if it + 1 < n_pipe:  # lookahead depth 1 bounds host RAM (~300 MB/batch)
-            dec_fut = dec_pool.submit(decode_batch)
-        sel_fut = sel_pool.submit(stage_select, decoded, k)
+        sel = sel_fut.result()                      # select(it) ready
+        pending_next = answer(params, sel, batch_dev, k)  # async dispatch
+        # submit the next stages unconditionally (work past the horizon is
+        # discarded) so every timed iteration carries identical stage load —
+        # the median below is a true continuous-serving period
+        sel_fut = sel_pool.submit(
+            stage_select, dec_fut, jax.random.fold_in(key, 2001 + it))
+        dec_fut = dec_pool.submit(decode_batch)  # lookahead 1 (~300 MB RAM)
         if pending_tokens is not None:
-            _ = np.asarray(pending_tokens)  # sync N-1 while S/D stages run
-        sel = sel_fut.result()
-        pending_tokens = answer(params, sel, batch_dev, k)  # async dispatch
+            _ = np.asarray(pending_tokens)          # sync N-1
+        pending_tokens = pending_next
+        marks.append(time.perf_counter())
     _ = np.asarray(pending_tokens)
-    pipeline_s = (time.perf_counter() - t0) / n_pipe
-    dec_pool.shutdown(wait=False)
-    sel_pool.shutdown(wait=False)
+    marks.append(time.perf_counter())
+    # per-iteration periods; the final mark closes the last batch's device
+    # sync. Median over all of them (every iteration has full stage load).
+    deltas = [b - a for a, b in zip(marks, marks[1:])]
+    if dbg:
+        print(f"[e2e] iter deltas {[round(d, 2) for d in deltas]}", flush=True)
+    pipeline_s = statistics.median(deltas)
+    dec_pool.shutdown(wait=False, cancel_futures=True)
+    sel_pool.shutdown(wait=False, cancel_futures=True)
 
     clip_latency_s = device_s / batch + decode_s
     total_frames = batch * num_frames
