@@ -125,29 +125,33 @@ def build(which: str, batch: int, max_new: int):
     # ingest over the tunnel (>25 min observed) and which defeats the
     # persistent compile cache.
     if which == "raft":
-        fn = jax.jit(lambda p: jnp.sum(model.apply(
-            p, flow_rgb, method=model.flow_features).astype(jnp.float32)))
-        return functools.partial(fn, params)
+        fn = jax.jit(lambda p, fr: jnp.sum(model.apply(
+            p, fr, method=model.flow_features).astype(jnp.float32)))
+        return functools.partial(fn, params, flow_rgb)
     if which == "vit":
         cand = jnp.tile(jnp.arange(cfg.nframe, dtype=jnp.int32)[None], (batch, 1))
-        fn = jax.jit(lambda p: jnp.sum(model.apply(
-            p, bd["frames"], cand, True,
+        # frames must be a jit ARG too: baked-in they are ~600 MB of HLO
+        # constants and the compile service rejects the body (HTTP 413)
+        fn = jax.jit(lambda p, fr: jnp.sum(model.apply(
+            p, fr, cand, True,
             method=model.encode_selected).astype(jnp.float32)))
-        return functools.partial(fn, params)
+        return functools.partial(fn, params, bd["frames"])
     if which == "decode":
-        flow = jax.jit(lambda p: model.apply(
-            p, flow_rgb, method=model.flow_features))(params)
-        enc_hidden, enc_mask, _ = jax.jit(lambda p: model.apply(
-            p, bd["frames"], flow, bd["flow_mask"], bd["video_length"],
-            bd["sampler_question_ids"], bd["sampler_question_mask"],
-            bd["question_ids"], bd["question_mask"], key,
-            method=model.prepare_t5_inference))(params)
+        flow = jax.jit(lambda p, fr: model.apply(
+            p, fr, method=model.flow_features))(params, flow_rgb)
+        enc_hidden, enc_mask, _ = jax.jit(
+            lambda p, fr, fl: model.apply(
+                p, fr, fl, bd["flow_mask"], bd["video_length"],
+                bd["sampler_question_ids"], bd["sampler_question_mask"],
+                bd["question_ids"], bd["question_mask"], key,
+                method=model.prepare_t5_inference))(
+            params, bd["frames"], flow)
         jax.block_until_ready((enc_hidden, enc_mask))
         dcfg = DecodeConfig(max_new_tokens=max_new, eos_token_id=-1,
                             pad_token_id=0)
-        fn = jax.jit(lambda p: t5_generate_from_encoder(
-            model, p, enc_hidden, enc_mask, dcfg, key))
-        return functools.partial(fn, params)
+        fn = jax.jit(lambda p, eh, em: t5_generate_from_encoder(
+            model, p, eh, em, dcfg, key))
+        return functools.partial(fn, params, enc_hidden, enc_mask)
     raise SystemExit(which)
 
 
