@@ -1,5 +1,14 @@
 """A/B the flash-attention call INCLUDING the surrounding layout moves.
 
+VERDICT (2026-08-17, v5e-1, --layers 8): the BSHD-native kernel (b) is NOT
+expressible through this Mosaic toolchain — batch-middle dot_general is
+rejected, per-head (1,bq,1,d) blocks violate the block-divisibility rule,
+and head-group blocks with static per-head slices (on refs or on loaded
+values) crash the remote compile helper (HTTP 500, exit 1). Of the variants
+that compile: (a) transpose+BHSD-kernel 8.30 ms/layer, (c) pure-XLA
+attention from BSHD 14.55 ms/layer. The shipped layout (a) stands; see
+ROOFLINE.md §3.1.
+
 The ViT trace (tools/traceprobe.py vit) shows ~1.5 ms/layer of `copy` ops —
 the (B,S,H,D)->(B,H,S,D) q/k/v transposes into the Pallas kernel plus the
 ctx transpose back. Variants measured at ViT-g serving shapes
@@ -73,44 +82,44 @@ def main():
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, E)
         return x + ctx @ wo
 
-    # ---------------- b) BSHD-native kernel
-    def _kern(q_ref, k_ref, v_ref, o_ref, *, block_kv, scale, s_kv):
-        # blocks: q (1, bq, hb, d), k/v (1, s_kv, hb, d)
-        q = q_ref[0]  # (bq, hb, d)
+    # ---------------- b) BSHD-native kernel. Blocks carry a head-group of 8
+    # (Pallas: second-to-last block dim must be divisible by 8); Mosaic has
+    # no non-leading batch dot_general, so heads unroll statically inside
+    # the kernel as plain 2D matmuls — same per-matmul MXU shapes as the
+    # row-batched BHSD kernel, but no XLA transposes around the call.
+    def _kern(q_ref, k_ref, v_ref, o_ref, *, block_kv, scale, s_kv,
+              head_block):
         n_kv = s_kv // block_kv
+        q_all = q_ref[0]  # (bq, hb, d) loaded once
+        k_all = k_ref[0]  # (s_kv, hb, d)
+        v_all = v_ref[0]
+        for hh in range(head_block):
+            q = q_all[:, hh, :]  # (bq, d) static slice on the value
 
-        def body(i, carry):
-            m_prev, l_prev, acc_prev = carry
-            k = k_ref[0, pl.ds(i * block_kv, block_kv)]  # (bkv, hb, d)
+            # probe uses whole-seq kv (block_kv == s_kv): no kv loop needed
+            assert n_kv == 1
+            k = k_all[:, hh, :]
+            v = v_all[:, hh, :]
             s = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((1,), (1,))),
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # (hb, bq, bkv)
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            v = v_ref[0, pl.ds(i * block_kv, block_kv)]  # (bkv, hb, d)
-            acc_new = acc_prev * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((2,), (0,)), ((0,), (1,))),
+            ) * scale  # (bq, skv)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (hb, bq, d)
-            return m_new, l_new, acc_new
-
-        hb, bq = q.shape[1], q.shape[0]
-        m0 = jnp.full((hb, bq, 1), -1e30, jnp.float32)
-        l0 = jnp.zeros((hb, bq, 1), jnp.float32)
-        acc0 = jnp.zeros((hb, bq, q.shape[2]), jnp.float32)
-        _, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
-        out = acc / jnp.maximum(l, 1e-30)  # (hb, bq, d)
-        o_ref[0] = out.transpose(1, 0, 2).astype(o_ref.dtype)
+            )  # (bq, d)
+            out = acc / jnp.maximum(l, 1e-30)
+            o_ref[0, :, hh, :] = out.astype(o_ref.dtype)
 
     def flash_bshd(q, k, v, *, block_q=264, block_kv=264, head_block=8):
         b, s, h, d = q.shape
         grid = (b, h // head_block, s // block_q)
         return pl.pallas_call(
-            functools.partial(_kern, block_kv=block_kv, scale=scale, s_kv=s),
+            functools.partial(_kern, block_kv=block_kv, scale=scale, s_kv=s,
+                              head_block=head_block),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, head_block, d),
@@ -160,20 +169,22 @@ def main():
           f"{timed(fa, x, wq, wk, wv, wo, iters=args.iters)*1000/L:8.3f}"
           " ms/layer", flush=True)
 
-    fb = stack(layer_b)
-    ra = jax.jit(lambda *a: layer_a(*a))(x, wq, wk, wv, wo)
-    rb = jax.jit(lambda *a: layer_b(*a))(x, wq, wk, wv, wo)
-    import numpy as np
-    d_ab = float(jnp.max(jnp.abs(ra.astype(jnp.float32)
-                                 - rb.astype(jnp.float32))))
-    print(f"layer_b (BSHD kernel)       "
-          f"{timed(fb, x, wq, wk, wv, wo, iters=args.iters)*1000/L:8.3f}"
-          f" ms/layer  max_abs_vs_a={d_ab:.2e}", flush=True)
-
     fc = stack(layer_c)
     print(f"layer_c (XLA einsum BSHD)   "
           f"{timed(fc, x, wq, wk, wv, wo, iters=args.iters)*1000/L:8.3f}"
           " ms/layer", flush=True)
+
+    try:
+        fb = stack(layer_b)
+        ra = jax.jit(lambda *a: layer_a(*a))(x, wq, wk, wv, wo)
+        rb = jax.jit(lambda *a: layer_b(*a))(x, wq, wk, wv, wo)
+        d_ab = float(jnp.max(jnp.abs(ra.astype(jnp.float32)
+                                     - rb.astype(jnp.float32))))
+        print(f"layer_b (BSHD kernel)       "
+              f"{timed(fb, x, wq, wk, wv, wo, iters=args.iters)*1000/L:8.3f}"
+              f" ms/layer  max_abs_vs_a={d_ab:.2e}", flush=True)
+    except Exception as e:
+        print(f"layer_b FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

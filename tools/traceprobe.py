@@ -136,6 +136,25 @@ def build(which: str, batch: int, max_new: int):
             p, fr, cand, True,
             method=model.encode_selected).astype(jnp.float32)))
         return functools.partial(fn, params, bd["frames"])
+    if which == "qformer":
+        # isolate the Q-Former at serving shapes: the answer phase runs it
+        # over batch*nframe frames' worth of ViT patches
+        from flax import linen as nn
+
+        from videotgb_tpu.models.qformer import QFormerModel
+        qcfg = cfg.blip2.qformer
+        n = batch * cfg.nframe
+        qf = QFormerModel(qcfg)
+        enc = jax.random.normal(key, (n, 257, qcfg.encoder_hidden_size),
+                                jnp.bfloat16)
+        queries = jax.random.normal(
+            jax.random.fold_in(key, 1),
+            (n, qcfg.num_query_tokens, qcfg.hidden_size), jnp.bfloat16)
+        qparams = nn.meta.unbox(
+            jax.jit(lambda k: qf.init(k, queries[:1], enc[:1]))(key))
+        fn = jax.jit(lambda p, qu, e: jnp.sum(
+            qf.apply(p, qu, e).astype(jnp.float32)))
+        return functools.partial(fn, qparams, queries, enc)
     if which == "decode":
         flow = jax.jit(lambda p, fr: model.apply(
             p, fr, method=model.flow_features))(params, flow_rgb)
@@ -157,7 +176,7 @@ def build(which: str, batch: int, max_new: int):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["raft", "vit", "decode"])
+    ap.add_argument("which", choices=["raft", "vit", "decode", "qformer"])
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--max_new", type=int, default=16)
     ap.add_argument("--top", type=int, default=40)
