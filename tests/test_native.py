@@ -44,15 +44,19 @@ def test_flow_to_rgb_matches_numpy(rng):
 def test_native_faster_than_numpy_path(rng):
     import time
 
-    frames = rng.integers(0, 255, (64, 480, 640, 3)).astype(np.uint8)
-    t0 = time.perf_counter()
-    native.resize_normalize(frames, 224, CLIP_MEAN, CLIP_STD)
-    native_s = time.perf_counter() - t0
-
     from videotgb_tpu.data.transforms import clip_transform
 
-    t0 = time.perf_counter()
-    clip_transform(frames, 224)
-    numpy_s = time.perf_counter() - t0
+    frames = rng.integers(0, 255, (64, 480, 640, 3)).astype(np.uint8)
+    # best-of-3 each, interleaved: single timings on a contended 1-core CI
+    # host flake badly (observed a full suite run where one numpy sample beat
+    # one native sample purely from scheduler noise)
+    native_s, numpy_s = float("inf"), float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        native.resize_normalize(frames, 224, CLIP_MEAN, CLIP_STD)
+        native_s = min(native_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        clip_transform(frames, 224)
+        numpy_s = min(numpy_s, time.perf_counter() - t0)
     # multithreaded native should beat single-threaded cv2+numpy chain
     assert native_s < numpy_s * 1.5, (native_s, numpy_s)
