@@ -70,6 +70,7 @@ class ServingEngine:
         model_base: str | None = None,
         sampler_base: str | None = None,
         backbone: str = "blip2",
+        bf16_params: bool = True,
     ):
         """``model_base``/``sampler_base``: tokenizer dirs for the LLM and
         the TGB sampler (same knobs as evalsuite/inference.py) — REQUIRED
@@ -90,7 +91,26 @@ class ServingEngine:
         args.flow_size = None
         args.lora = 0
         args.flow_frames = flow_frames
-        self.model, self.params, self.cfg = load_model(args)
+        self.model, params, self.cfg = load_model(args)
+        if bf16_params:
+            # bf16 param residency for serving: flagship f32 weights
+            # (~16.3 GB) barely fit one v5e chip's HBM and leave no room for
+            # activations. Matmul/conv weights were being converted to bf16
+            # inside the jit anyway; norm scales lose their f32 residency,
+            # which is exactly bench.py's param_dtype=bf16 serving policy
+            # (the reference serves bf16 too). Cast LEAF-BY-LEAF, dropping
+            # each f32 buffer as it converts — a whole-tree jax.tree.map
+            # holds f32 + bf16 trees simultaneously (~24 GB peak, OOM).
+            import jax.numpy as jnp
+
+            leaves, treedef = jax.tree.flatten(params)
+            del params
+            for i, x in enumerate(leaves):
+                if getattr(x, "dtype", None) == jnp.float32:
+                    leaves[i] = x.astype(jnp.bfloat16)
+                    del x  # free the f32 buffer before the next leaf
+            params = jax.tree.unflatten(treedef, leaves)
+        self.params = params
         self.tok = load_tokenizer(model_base)
         self.sampler_tok = load_tokenizer(sampler_base)
         self.batch_size = batch_size
@@ -266,13 +286,17 @@ def main(argv=None):
                    help="TGB sampler tokenizer dir")
     p.add_argument("--backbone", default="blip2",
                    choices=["blip2", "instructblip_t5", "instructblip"])
+    p.add_argument("--f32_params", action="store_true",
+                   help="keep f32 param residency (default bf16: the "
+                        "flagship's f32 weights exceed one v5e chip's HBM)")
     args = p.parse_args(argv)
 
     engine = ServingEngine(
         args.model_path, preset=args.preset, batch_size=args.batch_size,
         flow_frames=args.flow_frames, max_new_tokens=args.max_new_tokens,
         max_delay_ms=args.max_delay_ms, model_base=args.model_base,
-        sampler_base=args.sampler_base, backbone=args.backbone)
+        sampler_base=args.sampler_base, backbone=args.backbone,
+        bf16_params=not args.f32_params)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
