@@ -103,3 +103,29 @@ def test_engine_serves_instructblip_backbone():
         assert len(r.selected_frames) == eng.cfg.nframe
     finally:
         eng.close()
+
+
+def test_bf16_param_residency_default(engine):
+    """Serving defaults to bf16 param residency: the flagship's f32 tree
+    (16.3 GB) exceeds one v5e chip's HBM — the f32 path OOMed the serving
+    warmup before the leaf-wise cast landed (2026-08-17)."""
+    import jax
+    import jax.numpy as jnp
+
+    dtypes = {str(x.dtype) for x in jax.tree.leaves(engine.params)}
+    assert "float32" not in dtypes
+    assert "bfloat16" in dtypes
+
+
+def test_f32_param_opt_out():
+    from videotgb_tpu.serve import ServingEngine
+
+    eng = ServingEngine("random:tiny", preset="tiny", batch_size=1,
+                        flow_frames=3, max_new_tokens=2, bf16_params=False)
+    try:
+        import jax
+
+        dtypes = {str(x.dtype) for x in jax.tree.leaves(eng.params)}
+        assert "float32" in dtypes
+    finally:
+        eng.close()
