@@ -154,6 +154,9 @@ def test_ingestion_convert_infer_judge(released_assets, tmp_path):
         "--flow_frames", "3",
         "--max_new_tokens", "4",
         "--do_sample", "0",
+        # f32 residency: the mid-chain weight-identity check below compares
+        # the served params against the torch f32 state dict at rtol 1e-6
+        "--bf16_params", "0",
     ])
 
     # numeric weight-identity mid-chain check: the served params ARE the

@@ -34,7 +34,8 @@ class Chat:
                  preset: str = "small", backbone: str = "blip2",
                  model_base: str | None = None,
                  sampler_base: str | None = None,
-                 flow_size: int | None = None):
+                 flow_size: int | None = None,
+                 bf16_params: bool = True):
         import jax
 
         from videotgb_tpu.data.tokenizer import load_tokenizer
@@ -54,6 +55,8 @@ class Chat:
         args.flow_size = flow_size  # must match a converted checkpoint's
         args.lora = 0
         args.flow_frames = flow_frames
+        # bf16 residency by default (flagship f32 exceeds one chip's HBM)
+        args.bf16_params = bf16_params
         self.model, self.params, self.cfg = load_model(args)
         self.tok = load_tokenizer(model_base)
         self.sampler_tok = load_tokenizer(sampler_base)

@@ -79,6 +79,11 @@ def parse_args(argv=None):
     p.add_argument("--sampler_base", type=str, default=None)
     p.add_argument("--model_max_length", type=int, default=2048)
     p.add_argument("--lora", type=int, default=0)
+    p.add_argument("--bf16_params", type=int, default=1,
+                   help="bf16 param residency (default: the flagship's f32 "
+                        "tree is 16.3 GB — it barely fits one v5e chip's "
+                        "HBM and leaves no activation headroom). 0 keeps "
+                        "f32 residency (norm scales at full precision)")
     # TPU-side knobs (new)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--flow_frames", type=int, default=8,
@@ -132,6 +137,26 @@ def _warn_ignored_flags(args) -> None:
     if getattr(args, "device", "tpu") not in ("tpu", ""):
         warnings.warn("--device is a reference-compat stub; JAX picks the "
                       "platform (axon TPU here)")
+
+
+def bf16_residency(params):
+    """Cast every f32 param leaf to bf16 LEAF-BY-LEAF, freeing each f32
+    buffer as it converts. A whole-tree ``jax.tree.map`` holds the f32 and
+    bf16 trees simultaneously — ~24 GB peak for the flagship, which OOMs
+    the very chip this cast exists to fit. Matmul/conv weights were being
+    converted to bf16 inside the jits anyway; norm scales lose f32
+    residency, matching bench.py's param_dtype=bf16 serving policy (the
+    reference serves bf16 too, configs/experiment/*:24)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(params)
+    del params
+    for i, x in enumerate(leaves):
+        if getattr(x, "dtype", None) == jnp.float32:
+            leaves[i] = x.astype(jnp.bfloat16)
+            del x  # free the f32 buffer before the next leaf
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def load_model(args, with_specs: bool = False):
@@ -198,6 +223,8 @@ def load_model(args, with_specs: bool = False):
         mgr = CheckpointManager(CheckpointConfig(directory=args.model_path))
         restored = mgr.restore(template={"params": params["params"]})
         params = {"params": restored["params"]}
+    if getattr(args, "bf16_params", False):
+        params = bf16_residency(params)
     if with_specs:
         return model, params, cfg, specs
     return model, params, cfg

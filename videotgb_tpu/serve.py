@@ -91,26 +91,11 @@ class ServingEngine:
         args.flow_size = None
         args.lora = 0
         args.flow_frames = flow_frames
-        self.model, params, self.cfg = load_model(args)
-        if bf16_params:
-            # bf16 param residency for serving: flagship f32 weights
-            # (~16.3 GB) barely fit one v5e chip's HBM and leave no room for
-            # activations. Matmul/conv weights were being converted to bf16
-            # inside the jit anyway; norm scales lose their f32 residency,
-            # which is exactly bench.py's param_dtype=bf16 serving policy
-            # (the reference serves bf16 too). Cast LEAF-BY-LEAF, dropping
-            # each f32 buffer as it converts — a whole-tree jax.tree.map
-            # holds f32 + bf16 trees simultaneously (~24 GB peak, OOM).
-            import jax.numpy as jnp
-
-            leaves, treedef = jax.tree.flatten(params)
-            del params
-            for i, x in enumerate(leaves):
-                if getattr(x, "dtype", None) == jnp.float32:
-                    leaves[i] = x.astype(jnp.bfloat16)
-                    del x  # free the f32 buffer before the next leaf
-            params = jax.tree.unflatten(treedef, leaves)
-        self.params = params
+        # bf16 param residency by default: the flagship's f32 tree (16.3 GB)
+        # leaves no activation headroom on one v5e chip (load_model does the
+        # leaf-wise cast; see evalsuite.inference.bf16_residency)
+        args.bf16_params = bf16_params
+        self.model, self.params, self.cfg = load_model(args)
         self.tok = load_tokenizer(model_base)
         self.sampler_tok = load_tokenizer(sampler_base)
         self.batch_size = batch_size
