@@ -165,6 +165,8 @@ def main() -> None:
         cfg = VideoTGBConfig.flagship()
     elif preset == "small":
         cfg = VideoTGBConfig.small()
+    elif preset == "tiny":
+        cfg = VideoTGBConfig.tiny()  # CPU-runnable smoke (tests/test_bench.py)
     else:
         raise SystemExit(f"unknown BENCH_PRESET {preset}")
     cfg = _bf16_params(cfg)  # inference: weights resident in bf16 (HBM fit)
