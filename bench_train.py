@@ -1,16 +1,48 @@
-"""Training-step benchmark: the TG (sampler) and SF (self-refinement) recipes.
+"""Training-step throughput benchmark on one TPU chip.
 
-Complements bench.py (inference) with the BASELINE training configs: the
-TG stage trains the full 110M TGB at batch 32 (reference recipe:
-configs/experiment/LSTP_TG_blip2flant5xl_videoinstruct.yaml — 3 epochs,
-batch 32, single device), and the SF stage's jitted joint step on the small
-preset. Prints one JSON line with step times and examples/sec.
+bench.py covers serving; this measures the TRAINING side against the
+reference's own hardware budgets (BASELINE.md — the reference publishes no
+throughput numbers, only its recipe shapes):
 
-Usage: python bench_train.py   (env: TRAIN_BATCH, TRAIN_ITERS, FLOW_LEN)
+  stage | reference hardware/batch                      | mode here
+  ------|-----------------------------------------------|-----------------
+  TG    | 1 GPU, batch 32, 3 epochs                     | ``tg``
+  SF    | 4 GPUs x batch 2 (global 8), bf16, 2 epochs   | ``sf``
+  IVT   | 4 GPUs x batch 1 x accum 4, bf16, 2 epochs    | ``ivt``
+
+Modes (env ``BENCH_TRAIN_MODES``, default ``tg,ivt,sf``):
+
+* ``tg`` — flagship TGB sampler (RoPE-BERT-base over flow tokens +
+  question fusion) through ``TGRecipe`` at the reference's single-device
+  batch 32. Params are initialized through ``span_logits`` so only the
+  sampler tree exists on chip (the TG stage never touches the backbone —
+  reference LSTP_TG_blip2_module trains the sampler standalone).
+* ``ivt`` — flagship BLIP2-Flan-T5-xl with LoRA r=8 through ``IVTRecipe``
+  (trainable = Q-Former + projection + LoRA adapters; ViT-g/T5-xl frozen).
+  Frozen leaves ride in bf16 residency (the torch recipe autocasts them,
+  configs/experiment/*:24) so the whole thing FITS ONE v5e chip at the
+  reference's effective batch (device batch 4 x accum 4 = 16); trainable
+  leaves and their AdamW state stay f32.
+* ``sf`` — the SF joint step (TGB span loss + backbone LM loss through the
+  Gumbel selection) at the ``small`` preset, global batch 8. The flagship
+  SF optimizer state (T5-xl AdamW, ~36 GB f32) requires fsdp>=4 chips —
+  that sharding is validated by ``__graft_entry__.dryrun_multichip``; one
+  chip measures the structure-true small preset. ``scores`` arrive
+  synthetic (the host pseudo-label pass is an inference workload, benched
+  on the serving side).
+
+Env: BENCH_TRAIN_MODES, BENCH_TRAIN_PRESET (force one preset for all
+modes; tests use ``tiny``), BENCH_TRAIN_STEPS (timed steps, default 6),
+BENCH_TRAIN_BATCH / BENCH_TRAIN_ACCUM / BENCH_TRAIN_FLOW overrides.
+
+Prints ONE JSON line:
+  {"metric": "train_clips_per_sec_per_chip", "value": <tg clips/s>,
+   "unit": "clips/s", "vs_baseline": ..., "per_mode": {...}}
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import statistics
@@ -19,160 +51,313 @@ import time
 import numpy as np
 
 
-def main() -> None:
-    batch = int(os.environ.get("TRAIN_BATCH", "32"))
-    iters = int(os.environ.get("TRAIN_ITERS", "5"))
-    flow_len = int(os.environ.get("FLOW_LEN", "16"))
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
 
+
+def _timed_steps(trainer, state, batch, n_steps: int):
+    """Run warmup(compile) + n timed steps; each step fetches the loss (the
+    only true synchronization point through the axon tunnel)."""
+    t0 = time.perf_counter()
+    state, metrics = trainer.train_step(state, batch)
+    loss = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_step(state, batch)
+        loss = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), compile_s, loss, state
+
+
+def _count(tree) -> float:
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    import jax.numpy as jnp
-    import optax
-    from flax import linen as nn
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree)) / 1e6
 
-    from videotgb_tpu.models.tgb import TGBConfig, TGBModel
-    from videotgb_tpu.training.recipes import span_ce_loss
 
-    # ---- TG stage at production scale: BERT-base TGB, batch 32, flow 224
-    cfg = TGBConfig()  # 110M params
-    model = TGBModel(cfg)
-    rng = np.random.default_rng(0)
-    flow = jnp.asarray(rng.standard_normal(
-        (batch, flow_len, cfg.flow_size, cfg.flow_size, 2)), jnp.float32)
-    fm = jnp.ones((batch, flow_len + 2))
-    qi = jnp.asarray(rng.integers(100, 5000, (batch, 24)), jnp.int32)
-    qm = jnp.ones((batch, 24))
-    starts = jnp.asarray(rng.integers(0, flow_len, (batch,)), jnp.int32)
-    ends = jnp.asarray(rng.integers(0, flow_len, (batch,)), jnp.int32)
+def _trainer(recipe, model, batch_size: int, accum: int = 1):
+    import jax
 
-    t0 = time.perf_counter()
-    params = jax.jit(
-        lambda k: model.init(k, flow[:1], fm[:1], qi[:1], qm[:1],
-                             mode="multi_modal")
-    )(jax.random.key(0))
-    params = nn.meta.unbox(params)["params"]
-    jax.block_until_ready(params)
-    init_s = time.perf_counter() - t0
-
-    tx = optax.adamw(5e-5)
-    opt_state = tx.init(params)
-
-    def loss_fn(p, key):
-        _, logits = model.apply({"params": p}, flow, fm, qi, qm,
-                                mode="fusion", deterministic=False,
-                                rngs={"dropout": key})
-        return span_ce_loss(logits[..., 0], logits[..., 1], starts, ends)
-
-    @jax.jit
-    def step(p, opt, key):
-        loss, grads = jax.value_and_grad(loss_fn)(p, key)
-        updates, opt = tx.update(grads, opt, p)
-        return optax.apply_updates(p, updates), opt, loss
-
-    t0 = time.perf_counter()
-    params, opt_state, loss = step(params, opt_state, jax.random.key(1))
-    _ = float(loss)  # host fetch = sync
-    compile_s = time.perf_counter() - t0
-
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        params, opt_state, loss = step(params, opt_state,
-                                       jax.random.fold_in(jax.random.key(2), i))
-        _ = float(loss)
-        times.append(time.perf_counter() - t0)
-    tg_step_s = statistics.median(times)
-
-    result = {
-        "metric": "tg_train_examples_per_sec",
-        "value": round(batch / tg_step_s, 1),
-        "unit": "examples/s",
-        "tg_step_ms": round(tg_step_s * 1000, 1),
-        "batch": batch,
-        "flow_len": flow_len,
-        "tg_params_millions": round(
-            sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params)) / 1e6, 1),
-        "compile_s": round(compile_s, 1),
-        "init_s": round(init_s, 1),
-    }
-    print(json.dumps(result))
-
-    # ---- SF stage (small preset): the jitted joint step with the frozen
-    # vision tower's backward pruned (trainer stop_gradient split) and the
-    # fused flash-attention backward in the trainable towers
-    sf_batch = int(os.environ.get("SF_BATCH", "8"))
-    from videotgb_tpu.models.videotgb import VideoTGB, VideoTGBConfig
-    from videotgb_tpu.training.recipes import SFRecipe
+    from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
     from videotgb_tpu.training.trainer import Trainer, TrainerConfig
 
-    vcfg = VideoTGBConfig.small()
-    vmodel = VideoTGB(vcfg)
-    recipe = SFRecipe()
-    image = vcfg.blip2.vit.image_size
-    fs = vcfg.tgb.flow_size
-    sf_flow_len = 8
-    rng2 = np.random.default_rng(1)
-    sf = {
-        "frames": jnp.asarray(rng2.standard_normal(
-            (sf_batch, vcfg.num_frames, image, image, 3)), jnp.float32),
-        "flow": jnp.asarray(rng2.standard_normal(
-            (sf_batch, sf_flow_len, fs, fs, 2)), jnp.float32),
-        "flow_mask": jnp.ones((sf_batch, sf_flow_len + 2), jnp.float32),
-        "video_length": jnp.full((sf_batch,), sf_flow_len, jnp.int32),
-        "sampler_question_ids": jnp.asarray(
-            rng2.integers(5, 300, (sf_batch, 16)), jnp.int32),
-        "sampler_question_mask": jnp.ones((sf_batch, 16), jnp.float32),
-        "question_ids": jnp.asarray(
-            rng2.integers(5, 300, (sf_batch, 16)), jnp.int32),
-        "question_mask": jnp.ones((sf_batch, 16), jnp.float32),
-        "answer_ids": jnp.asarray(
-            rng2.integers(5, 300, (sf_batch, 8)), jnp.int32),
-        "scores": jnp.asarray(
-            rng2.random((sf_batch, vcfg.num_frames)), jnp.float32),
+    cfg = TrainerConfig(max_steps=100, lr=5e-5, accumulate_grad_batches=accum,
+                        log_every=1_000_000, eval_every=1_000_000)
+    # per-chip benchmark: pin the mesh to ONE device (the default dp=-1
+    # would absorb every visible device — 8 on the CPU test backend)
+    mesh = create_mesh(MeshConfig(dp=1), jax.devices()[:1])
+    return Trainer(cfg,
+                   loss_fn=lambda p, b, k: recipe.loss_fn(model, p, b, k),
+                   filter_fn=recipe.filter_fn, mesh=mesh)
+
+
+def _freeze_bf16(params, filter_fn):
+    """bf16 residency for FROZEN leaves only (leaf-wise, freeing each f32
+    buffer): the flagship backbone would not fit in f32 next to activations.
+    Trainable leaves (and therefore optimizer state) stay f32 — the same
+    split torch autocast training keeps."""
+    import jax
+    import jax.numpy as jnp
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves_with_path, treedef = flat
+    out = []
+    for path, leaf in leaves_with_path:
+        if (not filter_fn(path, leaf)
+                and getattr(leaf, "dtype", None) == jnp.float32):
+            out.append(leaf.astype(jnp.bfloat16))
+        else:
+            out.append(leaf)
+    del leaves_with_path, flat
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _scan_all(cfg):
+    """scan_layers on every tower: one compiled layer body per tower keeps
+    flagship train-step compiles tractable (same knob as bench.py)."""
+    import bench
+
+    return bench._scan_layers(cfg)
+
+
+# --------------------------------------------------------------------- modes
+def bench_tg(preset: str, n_steps: int) -> dict:
+    """Reference TG stage: sampler-only training, 1 device, batch 32."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotgb_tpu.models.videotgb import VideoTGB, VideoTGBConfig
+    from videotgb_tpu.training.recipes import TGRecipe
+
+    cfg = getattr(VideoTGBConfig, preset)()
+    model = VideoTGB(cfg)
+    batch = _env_int("BENCH_TRAIN_BATCH", 32 if preset != "tiny" else 2)
+    flow_len = _env_int("BENCH_TRAIN_FLOW",
+                        64 if preset != "tiny" else cfg.num_frames)
+    fs = cfg.tgb.flow_size
+    text_len = 24
+    rng = np.random.default_rng(0)
+
+    flow = jnp.asarray(rng.standard_normal((batch, flow_len, fs, fs, 2)),
+                       jnp.float32)
+    flow_mask = jnp.ones((batch, flow_len + 2), jnp.float32)
+    sq_ids = jnp.asarray(
+        rng.integers(100, min(cfg.tgb.vocab_size, 5000), (batch, text_len)),
+        jnp.int32)
+    sq_mask = jnp.ones((batch, text_len), jnp.float32)
+    starts = rng.integers(0, flow_len, (batch,))
+    ends = np.minimum(starts + rng.integers(0, flow_len, (batch,)),
+                      flow_len - 1)
+    dbatch = {
+        "flow": flow, "flow_mask": flow_mask,
+        "sampler_question_ids": sq_ids, "sampler_question_mask": sq_mask,
+        "starts": jnp.asarray(starts, jnp.int32),
+        "ends": jnp.asarray(ends, jnp.int32),
     }
+
+    # sampler-only param tree: a multi_modal span_logits pass touches every
+    # TGB submodule (the init invariant — fusion mode uses a subset)
     key = jax.random.key(0)
-    t0 = time.perf_counter()
-    variables = jax.jit(lambda k: vmodel.init(
-        k, sf["frames"][:1], sf["flow"][:1], sf["flow_mask"][:1],
-        sf["video_length"][:1], sf["sampler_question_ids"][:1],
-        sf["sampler_question_mask"][:1], sf["question_ids"][:1],
-        sf["question_mask"][:1], k, method=vmodel.init_pipeline))(key)
-    sf_params = nn.meta.unbox(variables)["params"]
-    jax.block_until_ready(sf_params)
-    sf_init_s = time.perf_counter() - t0
+    from flax import linen as nn
 
-    tcfg = TrainerConfig(max_steps=100, lr=5e-5)
-    trainer = Trainer(
-        tcfg, lambda p, b, k: recipe.loss_fn(vmodel, p, b, k),
-        filter_fn=recipe.filter_fn)
-    state = trainer.init_state(sf_params)
+    variables = jax.jit(lambda k: model.init(
+        k, flow[:1], flow_mask[:1], sq_ids[:1], sq_mask[:1],
+        mode="multi_modal", method=model.span_logits))(key)
+    params = nn.meta.unbox(variables)["params"]
+    jax.block_until_ready(params)
 
-    t0 = time.perf_counter()
-    state, m = trainer.train_step(state, sf)
-    _ = float(m["loss"])
-    sf_compile_s = time.perf_counter() - t0
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        state, m = trainer.train_step(state, sf)
-        _ = float(m["loss"])
-        times.append(time.perf_counter() - t0)
-    sf_step_s = statistics.median(times)
+    recipe = TGRecipe()
+    trainer = _trainer(recipe, model, batch)
+    state = trainer.init_state(params)
+    step_s, compile_s, loss, _ = _timed_steps(trainer, state, dbatch, n_steps)
+    return {
+        "batch": batch, "flow_len": flow_len,
+        "step_ms": round(step_s * 1e3, 1),
+        "clips_per_s": round(batch / step_s, 3),
+        "compile_s": round(compile_s, 1),
+        "params_trainable_millions": round(_count(params), 1),
+        "loss": round(loss, 4),
+        "reference_budget": "1 GPU, batch 32",
+    }
+
+
+def bench_ivt(preset: str, n_steps: int) -> dict:
+    """Reference IVT stage: LoRA + Q-Former training, frozen towers bf16,
+    device batch 4 x accum 4 (the reference's 1/GPU x 4 GPUs x accum 4)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from videotgb_tpu.models.videotgb import VideoTGB, VideoTGBConfig
+    from videotgb_tpu.training.recipes import IVTRecipe
+
+    cfg = getattr(VideoTGBConfig, preset)()
+    t5 = dataclasses.replace(cfg.blip2.t5, lora_rank=8)
+    cfg = dataclasses.replace(cfg, blip2=dataclasses.replace(cfg.blip2, t5=t5))
+    if preset == "flagship":
+        cfg = _scan_all(cfg)
+    model = VideoTGB(cfg)
+
+    micro = _env_int("BENCH_TRAIN_BATCH", 4 if preset != "tiny" else 2)
+    accum = _env_int("BENCH_TRAIN_ACCUM", 4 if preset != "tiny" else 2)
+    image = cfg.blip2.vit.image_size
+    nframe = cfg.nframe
+    text_len, ans_len = 32, 32
+    rng = np.random.default_rng(0)
+    vocab = cfg.blip2.t5.vocab_size
+
+    def micro_batch(i):
+        r = np.random.default_rng(i)
+        return {
+            "frames": r.standard_normal(
+                (micro, nframe, image, image, 3)).astype(np.float32),
+            "widths": np.full((micro,), nframe, np.int32),
+            "question_ids": r.integers(
+                100, min(vocab, 5000), (micro, text_len)).astype(np.int32),
+            "question_mask": np.ones((micro, text_len), np.float32),
+            "answer_ids": r.integers(
+                100, min(vocab, 5000), (micro, ans_len)).astype(np.int32),
+            "answer_mask": np.ones((micro, ans_len), np.float32),
+        }
+
+    # accumulation: micro-batches stacked on axis 0 (trainer scan contract)
+    stacked = jax.tree.map(lambda *x: jnp.asarray(np.stack(x)),
+                           *[micro_batch(i) for i in range(accum)])
+
+    key = jax.random.key(0)
+    mb0 = jax.tree.map(lambda x: x[0][:1], stacked)
+    variables = jax.jit(lambda k: model.init(
+        k, mb0["frames"], mb0["question_ids"], mb0["question_mask"],
+        mb0["answer_ids"], None, None, True, None,
+        method=_ivt_init_method))(key)
+    params = nn.meta.unbox(variables)["params"]
+    jax.block_until_ready(params)
+
+    recipe = IVTRecipe()
+    # frozen towers -> bf16 residency BEFORE optimizer init, so AdamW state
+    # is allocated for the f32 trainable subset only
+    params = _freeze_bf16(params, recipe.filter_fn)
+    trainer = _trainer(recipe, model, micro, accum=accum)
+    state = trainer.init_state(params)
+    step_s, compile_s, loss, _ = _timed_steps(trainer, state, stacked, n_steps)
+    eff = micro * accum
+    return {
+        "batch": micro, "accum": accum, "effective_batch": eff,
+        "step_ms": round(step_s * 1e3, 1),
+        "clips_per_s": round(eff / step_s, 3),
+        "compile_s": round(compile_s, 1),
+        "params_total_millions": round(_count(params), 1),
+        "loss": round(loss, 4),
+        "reference_budget": "4 GPUs, batch 1/GPU x accum 4",
+    }
+
+
+def _ivt_init_method(mdl, frames, q_ids, q_mask, a_ids, qf_ids, qf_mask,
+                     mean_pool, visual_valid):
+    return mdl.model(frames, q_ids, q_mask, a_ids, mean_pool=mean_pool,
+                     visual_valid=visual_valid, qformer_input_ids=qf_ids,
+                     qformer_attention_mask=qf_mask)
+
+
+def bench_sf(preset: str, n_steps: int) -> dict:
+    """Reference SF stage at the reference's global batch 8. Flagship SF
+    needs fsdp>=4 for the T5-xl AdamW state; ``small`` is the one-chip
+    structure-true stand-in (same towers/selection pipeline, reduced
+    depth/width)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from videotgb_tpu.models.videotgb import VideoTGB, VideoTGBConfig
+    from videotgb_tpu.training.recipes import SFRecipe
+
+    cfg = getattr(VideoTGBConfig, preset)()
+    model = VideoTGB(cfg)
+    batch = _env_int("BENCH_TRAIN_BATCH", 8 if preset != "tiny" else 2)
+    flow_len = _env_int("BENCH_TRAIN_FLOW",
+                        32 if preset != "tiny" else cfg.num_frames)
+    image = cfg.blip2.vit.image_size
+    fs = cfg.tgb.flow_size
+    text_len = 24
+    rng = np.random.default_rng(0)
+    vocab = cfg.blip2.t5.vocab_size
+
+    dbatch = {
+        "frames": jnp.asarray(rng.standard_normal(
+            (batch, cfg.num_frames, image, image, 3)), jnp.float32),
+        "flow": jnp.asarray(rng.standard_normal(
+            (batch, flow_len, fs, fs, 2)), jnp.float32),
+        "flow_mask": jnp.ones((batch, flow_len + 2), jnp.float32),
+        "video_length": jnp.full((batch,), flow_len, jnp.int32),
+        "sampler_question_ids": jnp.asarray(rng.integers(
+            100, min(cfg.tgb.vocab_size, 5000), (batch, text_len)), jnp.int32),
+        "sampler_question_mask": jnp.ones((batch, text_len), jnp.float32),
+        "question_ids": jnp.asarray(rng.integers(
+            100, min(vocab, 5000), (batch, text_len)), jnp.int32),
+        "question_mask": jnp.ones((batch, text_len), jnp.float32),
+        "answer_ids": jnp.asarray(rng.integers(
+            100, min(vocab, 5000), (batch, 16)), jnp.int32),
+        "scores": jnp.asarray(rng.random((batch, cfg.num_frames)),
+                              jnp.float32),
+    }
+
+    key = jax.random.key(0)
+    variables = jax.jit(lambda k: model.init(
+        k, dbatch["frames"][:1], dbatch["flow"][:1], dbatch["flow_mask"][:1],
+        dbatch["video_length"][:1], dbatch["sampler_question_ids"][:1],
+        dbatch["sampler_question_mask"][:1], dbatch["question_ids"][:1],
+        dbatch["question_mask"][:1], k, method=model.init_pipeline))(key)
+    params = nn.meta.unbox(variables)["params"]
+    jax.block_until_ready(params)
+
+    recipe = SFRecipe()
+    trainer = _trainer(recipe, model, batch)
+    state = trainer.init_state(params)
+    step_s, compile_s, loss, _ = _timed_steps(trainer, state, dbatch, n_steps)
+    return {
+        "batch": batch, "flow_len": flow_len, "preset": preset,
+        "step_ms": round(step_s * 1e3, 1),
+        "clips_per_s": round(batch / step_s, 3),
+        "compile_s": round(compile_s, 1),
+        "params_total_millions": round(_count(params), 1),
+        "loss": round(loss, 4),
+        "reference_budget": "4 GPUs, batch 2/GPU (global 8)",
+    }
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE", "/root/.jax_cache"))
+    modes = os.environ.get("BENCH_TRAIN_MODES", "tg,ivt,sf").split(",")
+    n_steps = _env_int("BENCH_TRAIN_STEPS", 6)
+    forced = os.environ.get("BENCH_TRAIN_PRESET")
+
+    per_mode = {}
+    for mode in modes:
+        mode = mode.strip()
+        if mode == "tg":
+            per_mode["tg"] = bench_tg(forced or "flagship", n_steps)
+        elif mode == "ivt":
+            per_mode["ivt"] = bench_ivt(forced or "flagship", n_steps)
+        elif mode == "sf":
+            per_mode["sf"] = bench_sf(forced or "small", n_steps)
+        else:
+            raise SystemExit(f"unknown BENCH_TRAIN_MODES entry {mode!r}")
+
+    headline = per_mode.get("tg") or next(iter(per_mode.values()))
     print(json.dumps({
-        "metric": "sf_train_examples_per_sec",
-        "value": round(sf_batch / sf_step_s, 1),
-        "unit": "examples/s",
-        "sf_step_ms": round(sf_step_s * 1000, 1),
-        "batch": sf_batch,
-        "preset": "small",
-        "compile_s": round(sf_compile_s, 1),
-        "init_s": round(sf_init_s, 1),
+        "metric": "train_clips_per_sec_per_chip",
+        "value": headline["clips_per_s"],
+        "unit": "clips/s",
+        # no reference throughput exists (BASELINE.md: accuracy only);
+        # vs_baseline compares against the reference's per-device batch
+        # cadence of 1 step/s as a neutral anchor = clips/s / batch
+        "vs_baseline": round(headline["clips_per_s"] / headline["batch"], 3),
+        "per_mode": per_mode,
     }))
 
 
