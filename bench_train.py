@@ -228,17 +228,20 @@ def bench_ivt(preset: str, n_steps: int) -> dict:
 
     key = jax.random.key(0)
     mb0 = jax.tree.map(lambda x: x[0][:1], stacked)
-    variables = jax.jit(lambda k: model.init(
-        k, mb0["frames"], mb0["question_ids"], mb0["question_mask"],
-        mb0["answer_ids"], None, None, True, None,
-        method=_ivt_init_method))(key)
-    params = nn.meta.unbox(variables)["params"]
-    jax.block_until_ready(params)
-
     recipe = IVTRecipe()
-    # frozen towers -> bf16 residency BEFORE optimizer init, so AdamW state
-    # is allocated for the f32 trainable subset only
-    params = _freeze_bf16(params, recipe.filter_fn)
+    # frozen towers -> bf16 INSIDE the init jit: a post-hoc cast holds the
+    # full f32 tree (16.3 GB) and the bf16 copies simultaneously — OOMs the
+    # chip. Under jit, XLA's liveness analysis frees each f32 init buffer at
+    # its cast, so peak stays ~the bf16 tree. AdamW state is then allocated
+    # for the f32 trainable subset only.
+    variables = jax.jit(lambda k: _freeze_bf16(
+        nn.meta.unbox(model.init(
+            k, mb0["frames"], mb0["question_ids"], mb0["question_mask"],
+            mb0["answer_ids"], None, None, True, None,
+            method=_ivt_init_method))["params"],
+        recipe.filter_fn))(key)
+    params = variables
+    jax.block_until_ready(params)
     trainer = _trainer(recipe, model, micro, accum=accum)
     state = trainer.init_state(params)
     step_s, compile_s, loss, _ = _timed_steps(trainer, state, stacked, n_steps)
