@@ -56,19 +56,37 @@ def _env_int(name: str, default: int) -> int:
 
 
 def _timed_steps(trainer, state, batch, n_steps: int):
-    """Run warmup(compile) + n timed steps; each step fetches the loss (the
-    only true synchronization point through the axon tunnel)."""
+    """Run warmup(compile) + timed steps two ways.
+
+    Returns (pipelined_s, synced_s, compile_s, loss, state):
+
+    * pipelined — n steps dispatched back-to-back, ONE loss fetch at the
+      end. This is the cadence of real training (a trainer fetches metrics
+      every log_every steps, not every step) and what the device actually
+      sustains: each step's dispatch overlaps the previous step's execution.
+    * synced — per-step with a loss fetch each step; on this harness the
+      fetch alone costs ~25 ms of tunnel round-trip (TG flagship measured:
+      31 ms device vs 104 ms synced wall — tools/traintraceprobe.py).
+    """
     t0 = time.perf_counter()
     state, metrics = trainer.train_step(state, batch)
     loss = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
+
     times = []
     for _ in range(n_steps):
         t0 = time.perf_counter()
         state, metrics = trainer.train_step(state, batch)
         loss = float(metrics["loss"])
         times.append(time.perf_counter() - t0)
-    return statistics.median(times), compile_s, loss, state
+    synced_s = statistics.median(times)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = trainer.train_step(state, batch)
+    loss = float(metrics["loss"])
+    pipelined_s = (time.perf_counter() - t0) / n_steps
+    return pipelined_s, synced_s, compile_s, loss, state
 
 
 def _count(tree) -> float:
@@ -171,11 +189,13 @@ def bench_tg(preset: str, n_steps: int) -> dict:
     recipe = TGRecipe()
     trainer = _trainer(recipe, model, batch)
     state = trainer.init_state(params)
-    step_s, compile_s, loss, _ = _timed_steps(trainer, state, dbatch, n_steps)
+    pipe_s, sync_s, compile_s, loss, _ = _timed_steps(
+        trainer, state, dbatch, n_steps)
     return {
         "batch": batch, "flow_len": flow_len,
-        "step_ms": round(step_s * 1e3, 1),
-        "clips_per_s": round(batch / step_s, 3),
+        "step_ms": round(pipe_s * 1e3, 1),
+        "step_ms_synced": round(sync_s * 1e3, 1),
+        "clips_per_s": round(batch / pipe_s, 3),
         "compile_s": round(compile_s, 1),
         "params_trainable_millions": round(_count(params), 1),
         "loss": round(loss, 4),
@@ -244,12 +264,14 @@ def bench_ivt(preset: str, n_steps: int) -> dict:
     jax.block_until_ready(params)
     trainer = _trainer(recipe, model, micro, accum=accum)
     state = trainer.init_state(params)
-    step_s, compile_s, loss, _ = _timed_steps(trainer, state, stacked, n_steps)
+    pipe_s, sync_s, compile_s, loss, _ = _timed_steps(
+        trainer, state, stacked, n_steps)
     eff = micro * accum
     return {
         "batch": micro, "accum": accum, "effective_batch": eff,
-        "step_ms": round(step_s * 1e3, 1),
-        "clips_per_s": round(eff / step_s, 3),
+        "step_ms": round(pipe_s * 1e3, 1),
+        "step_ms_synced": round(sync_s * 1e3, 1),
+        "clips_per_s": round(eff / pipe_s, 3),
         "compile_s": round(compile_s, 1),
         "params_total_millions": round(_count(params), 1),
         "loss": round(loss, 4),
@@ -318,11 +340,13 @@ def bench_sf(preset: str, n_steps: int) -> dict:
     recipe = SFRecipe()
     trainer = _trainer(recipe, model, batch)
     state = trainer.init_state(params)
-    step_s, compile_s, loss, _ = _timed_steps(trainer, state, dbatch, n_steps)
+    pipe_s, sync_s, compile_s, loss, _ = _timed_steps(
+        trainer, state, dbatch, n_steps)
     return {
         "batch": batch, "flow_len": flow_len, "preset": preset,
-        "step_ms": round(step_s * 1e3, 1),
-        "clips_per_s": round(batch / step_s, 3),
+        "step_ms": round(pipe_s * 1e3, 1),
+        "step_ms_synced": round(sync_s * 1e3, 1),
+        "clips_per_s": round(batch / pipe_s, 3),
         "compile_s": round(compile_s, 1),
         "params_total_millions": round(_count(params), 1),
         "loss": round(loss, 4),

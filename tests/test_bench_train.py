@@ -29,6 +29,7 @@ def test_bench_train_prints_one_json_metric_line(monkeypatch):
         m = result["per_mode"][mode]
         assert m["clips_per_s"] > 0, mode
         assert m["step_ms"] > 0, mode
+        assert m["step_ms_synced"] > 0, mode
         assert np.isfinite(m["loss"]), mode
     # the IVT mode runs the reference's accumulation semantics
     assert result["per_mode"]["ivt"]["effective_batch"] == (
