@@ -8,9 +8,13 @@ throughput numbers, only its recipe shapes):
   ------|-----------------------------------------------|-----------------
   TG    | 1 GPU, batch 32, 3 epochs                     | ``tg``
   SF    | 4 GPUs x batch 2 (global 8), bf16, 2 epochs   | ``sf``
+  E2E   | batch 8 (LSTP_blip2flant5xl_videoinstruct)    | ``e2e``
+  IV    | 4 GPUs x batch 4 (global 16), 3 epochs        | ``iv``
   IVT   | 4 GPUs x batch 1 x accum 4, bf16, 2 epochs    | ``ivt``
 
-Modes (env ``BENCH_TRAIN_MODES``, default ``tg,ivt,sf``):
+Modes (env ``BENCH_TRAIN_MODES``, default ``tg,ivt,sf``; ``iv``/``e2e``
+cover the remaining recipes — all five flagship-scale except SF, whose
+T5-xl optimizer state needs fsdp>=4):
 
 * ``tg`` — flagship TGB sampler (RoPE-BERT-base over flow tokens +
   question fusion) through ``TGRecipe`` at the reference's single-device
@@ -286,7 +290,70 @@ def _ivt_init_method(mdl, frames, q_ids, q_mask, a_ids, qf_ids, qf_mask,
                      qformer_attention_mask=qf_mask)
 
 
-def bench_sf(preset: str, n_steps: int) -> dict:
+def bench_iv(preset: str, n_steps: int) -> dict:
+    """Reference IV stage: Q-Former (+projection) only trains, frames arrive
+    pre-selected. Reference budget 4 GPUs x batch 4 — the global batch 16
+    runs on one chip here (frozen towers bf16, same residency as ivt)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from videotgb_tpu.models.videotgb import VideoTGB, VideoTGBConfig
+    from videotgb_tpu.training.recipes import IVRecipe
+
+    cfg = getattr(VideoTGBConfig, preset)()
+    if preset == "flagship":
+        cfg = _scan_all(cfg)
+    model = VideoTGB(cfg)
+
+    batch = _env_int("BENCH_TRAIN_BATCH", 16 if preset != "tiny" else 2)
+    image = cfg.blip2.vit.image_size
+    nframe = cfg.nframe
+    text_len, ans_len = 32, 32
+    rng = np.random.default_rng(0)
+    vocab = cfg.blip2.t5.vocab_size
+    dbatch = {
+        "frames": jnp.asarray(rng.standard_normal(
+            (batch, nframe, image, image, 3)), jnp.float32),
+        "widths": jnp.full((batch,), nframe, jnp.int32),
+        "question_ids": jnp.asarray(rng.integers(
+            100, min(vocab, 5000), (batch, text_len)), jnp.int32),
+        "question_mask": jnp.ones((batch, text_len), jnp.float32),
+        "answer_ids": jnp.asarray(rng.integers(
+            100, min(vocab, 5000), (batch, ans_len)), jnp.int32),
+        "answer_mask": jnp.ones((batch, ans_len), jnp.float32),
+    }
+
+    key = jax.random.key(0)
+    recipe = IVRecipe()
+    variables = jax.jit(lambda k: _freeze_bf16(
+        nn.meta.unbox(model.init(
+            k, dbatch["frames"][:1], dbatch["question_ids"][:1],
+            dbatch["question_mask"][:1], dbatch["answer_ids"][:1],
+            None, None, True, None,
+            method=_ivt_init_method))["params"],
+        recipe.filter_fn))(key)
+    params = variables
+    jax.block_until_ready(params)
+
+    trainer = _trainer(recipe, model, batch)
+    state = trainer.init_state(params)
+    pipe_s, sync_s, compile_s, loss, _ = _timed_steps(
+        trainer, state, dbatch, n_steps)
+    return {
+        "batch": batch,
+        "step_ms": round(pipe_s * 1e3, 1),
+        "step_ms_synced": round(sync_s * 1e3, 1),
+        "clips_per_s": round(batch / pipe_s, 3),
+        "compile_s": round(compile_s, 1),
+        "params_total_millions": round(_count(params), 1),
+        "loss": round(loss, 4),
+        "reference_budget": "4 GPUs, batch 4/GPU (global 16)",
+    }
+
+
+def bench_sf(preset: str, n_steps: int, recipe=None,
+             budget: str = "4 GPUs, batch 2/GPU (global 8)") -> dict:
     """Reference SF stage at the reference's global batch 8. Flagship SF
     needs fsdp>=4 for the T5-xl AdamW state; ``small`` is the one-chip
     structure-true stand-in (same towers/selection pipeline, reduced
@@ -299,6 +366,8 @@ def bench_sf(preset: str, n_steps: int) -> dict:
     from videotgb_tpu.training.recipes import SFRecipe
 
     cfg = getattr(VideoTGBConfig, preset)()
+    if preset == "flagship":
+        cfg = _scan_all(cfg)
     model = VideoTGB(cfg)
     batch = _env_int("BENCH_TRAIN_BATCH", 8 if preset != "tiny" else 2)
     flow_len = _env_int("BENCH_TRAIN_FLOW",
@@ -329,15 +398,24 @@ def bench_sf(preset: str, n_steps: int) -> dict:
     }
 
     key = jax.random.key(0)
-    variables = jax.jit(lambda k: model.init(
-        k, dbatch["frames"][:1], dbatch["flow"][:1], dbatch["flow_mask"][:1],
-        dbatch["video_length"][:1], dbatch["sampler_question_ids"][:1],
-        dbatch["sampler_question_mask"][:1], dbatch["question_ids"][:1],
-        dbatch["question_mask"][:1], k, method=model.init_pipeline))(key)
-    params = nn.meta.unbox(variables)["params"]
+    recipe = recipe if recipe is not None else SFRecipe()
+
+    def _init(k):
+        p = nn.meta.unbox(model.init(
+            k, dbatch["frames"][:1], dbatch["flow"][:1],
+            dbatch["flow_mask"][:1], dbatch["video_length"][:1],
+            dbatch["sampler_question_ids"][:1],
+            dbatch["sampler_question_mask"][:1], dbatch["question_ids"][:1],
+            dbatch["question_mask"][:1], k,
+            method=model.init_pipeline))["params"]
+        # flagship towers don't fit f32 next to activations — frozen leaves
+        # ride bf16 (cast inside this jit; see bench_ivt); small/tiny keep
+        # f32 for test-numerics comparability
+        return _freeze_bf16(p, recipe.filter_fn) if preset == "flagship" else p
+
+    params = jax.jit(_init)(key)
     jax.block_until_ready(params)
 
-    recipe = SFRecipe()
     trainer = _trainer(recipe, model, batch)
     state = trainer.init_state(params)
     pipe_s, sync_s, compile_s, loss, _ = _timed_steps(
@@ -350,8 +428,19 @@ def bench_sf(preset: str, n_steps: int) -> dict:
         "compile_s": round(compile_s, 1),
         "params_total_millions": round(_count(params), 1),
         "loss": round(loss, 4),
-        "reference_budget": "4 GPUs, batch 2/GPU (global 8)",
+        "reference_budget": budget,
     }
+
+
+def bench_e2e(preset: str, n_steps: int) -> dict:
+    """Reference E2E stage (LSTP_blip2_module): TGB + Q-Former train through
+    the Gumbel selection, ViT/LLM/RAFT frozen — light enough trainable set
+    that the FLAGSHIP runs on one chip (frozen towers bf16). Reference
+    budget: batch 8."""
+    from videotgb_tpu.training.recipes import E2ERecipe
+
+    return bench_sf(preset, n_steps, recipe=E2ERecipe(),
+                    budget="reference batch 8")
 
 
 def main() -> None:
@@ -370,6 +459,10 @@ def main() -> None:
             per_mode["tg"] = bench_tg(forced or "flagship", n_steps)
         elif mode == "ivt":
             per_mode["ivt"] = bench_ivt(forced or "flagship", n_steps)
+        elif mode == "iv":
+            per_mode["iv"] = bench_iv(forced or "flagship", n_steps)
+        elif mode == "e2e":
+            per_mode["e2e"] = bench_e2e(forced or "flagship", n_steps)
         elif mode == "sf":
             per_mode["sf"] = bench_sf(forced or "small", n_steps)
         else:

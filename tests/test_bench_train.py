@@ -12,7 +12,7 @@ import numpy as np
 
 def test_bench_train_prints_one_json_metric_line(monkeypatch):
     monkeypatch.setenv("BENCH_TRAIN_PRESET", "tiny")
-    monkeypatch.setenv("BENCH_TRAIN_MODES", "tg,ivt,sf")
+    monkeypatch.setenv("BENCH_TRAIN_MODES", "tg,ivt,iv,e2e,sf")
     monkeypatch.setenv("BENCH_TRAIN_STEPS", "1")
     sys.modules.pop("bench_train", None)
     import bench_train
@@ -25,7 +25,7 @@ def test_bench_train_prints_one_json_metric_line(monkeypatch):
     assert result["metric"] == "train_clips_per_sec_per_chip"
     assert result["unit"] == "clips/s"
     assert result["value"] > 0
-    for mode in ("tg", "ivt", "sf"):
+    for mode in ("tg", "ivt", "iv", "e2e", "sf"):
         m = result["per_mode"][mode]
         assert m["clips_per_s"] > 0, mode
         assert m["step_ms"] > 0, mode
