@@ -71,6 +71,9 @@ def bench_one(batch_size: int, preset: str, rate: float, n_requests: int,
 
 
 def main() -> None:
+    from bench import wait_for_compiler
+
+    wait_for_compiler(float(os.environ.get("BENCH_COMPILE_WAIT_S", "900")))
     preset = os.environ.get("SERVE_PRESET", "flagship")
     batches = [int(x) for x in
                os.environ.get("SERVE_BATCHES", "1,8").split(",")]

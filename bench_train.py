@@ -448,6 +448,9 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE", "/root/.jax_cache"))
+    from bench import wait_for_compiler
+
+    wait_for_compiler(float(os.environ.get("BENCH_COMPILE_WAIT_S", "900")))
     modes = os.environ.get("BENCH_TRAIN_MODES", "tg,ivt,sf").split(",")
     n_steps = _env_int("BENCH_TRAIN_STEPS", 6)
     forced = os.environ.get("BENCH_TRAIN_PRESET")

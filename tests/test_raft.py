@@ -102,6 +102,38 @@ def test_fused_lookup_kernel_matches_dense(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_corr_pyramid_degenerate_small_maps_clamp_at_1x1(rng):
+    """At tiny feature maps (h=w=4, num_levels=4) floor-halving used to
+    produce a 0-size level, which Mosaic rejects outright ('vector types
+    must have positive constant sizes') — hit by BENCH_PRESET=tiny on a real
+    TPU. Levels must clamp at 1x1 (repeating the last valid level) in BOTH
+    builds, and the kernel math must still match the dense path."""
+    from videotgb_tpu.ops.correlation import lookup_corr_pyramid_dense
+    from videotgb_tpu.ops.correlation_pallas import (
+        build_corr_pyramid_t,
+        lookup_corr_pyramid_interpret,
+    )
+
+    b, h, w, c = 2, 4, 4, 8
+    f1 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    pyr = build_corr_pyramid(f1, f2, num_levels=4)
+    pyr_t = build_corr_pyramid_t(f1, f2, num_levels=4)
+    assert [p.shape[2:] for p in pyr] == [(4, 4), (2, 2), (1, 1), (1, 1)]
+    assert [p.shape[1] for p in pyr_t] == [16, 4, 1, 1]
+    for lvl, (a, bt) in enumerate(zip(pyr, pyr_t)):
+        hl, wl = a.shape[2], a.shape[3]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bt).reshape(b, hl, wl, h * w)
+            .transpose(0, 3, 1, 2), rtol=1e-5, atol=1e-5, err_msg=f"lvl{lvl}")
+
+    coords = jnp.asarray(rng.uniform(-1, 5, (b, h, w, 2)).astype(np.float32))
+    dense = lookup_corr_pyramid_dense(pyr, coords, radius=2)
+    fused = lookup_corr_pyramid_interpret(pyr_t, coords, radius=2)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_raft_fused_lookup_end_to_end_matches_dense(rng):
     """Full RAFT forward with fused_lookup=True (interpretable CPU kernel not
     used here — the t-layout + dense fallback) equals the standard path."""

@@ -39,10 +39,17 @@ def build_corr_pyramid(
     for _ in range(num_levels - 1):
         c_ = pyramid[-1]
         bh, q, hh, ww = c_.shape
+        if hh == 1 and ww == 1:
+            # resolution exhausted (tiny test shapes): repeat the 1x1 level —
+            # floor-halving to 0x0 breaks downstream kernels and the
+            # reference never runs here (torch avg_pool2d floors to 0 too)
+            pyramid.append(c_)
+            continue
         # torch avg_pool2d(2, 2) floors odd dims: crop the trailing row/col
-        he, we = (hh // 2) * 2, (ww // 2) * 2
-        c_ = c_[:, :, :he, :we]
-        c_ = c_.reshape(bh, q, he // 2, 2, we // 2, 2).mean(axis=(3, 5))
+        ph, pw = (2 if hh >= 2 else 1), (2 if ww >= 2 else 1)
+        nh, nw = max(hh // 2, 1), max(ww // 2, 1)
+        c_ = c_[:, :, :nh * ph, :nw * pw]
+        c_ = c_.reshape(bh, q, nh, ph, nw, pw).mean(axis=(3, 5))
         pyramid.append(c_)
     return pyramid
 

@@ -53,11 +53,19 @@ def build_corr_pyramid_t(
     pyramid = [corr]
     hh, ww = h, w
     for _ in range(num_levels - 1):
+        if hh == 1 and ww == 1:
+            # resolution exhausted (tiny test shapes): repeat the 1x1 level
+            # instead of floor-halving to 0 — a 0-size block is invalid in
+            # Mosaic and the reference never runs at these shapes (torch
+            # avg_pool2d would floor to 0x0 too). Channel count stays static.
+            pyramid.append(pyramid[-1])
+            continue
         cur = pyramid[-1].reshape(b, hh, ww, q)
-        he, we = (hh // 2) * 2, (ww // 2) * 2
-        cur = cur[:, :he, :we]
-        cur = cur.reshape(b, he // 2, 2, we // 2, 2, q).mean(axis=(2, 4))
-        hh, ww = he // 2, we // 2
+        ph, pw = (2 if hh >= 2 else 1), (2 if ww >= 2 else 1)
+        nh, nw = max(hh // 2, 1), max(ww // 2, 1)
+        cur = cur[:, :nh * ph, :nw * pw]
+        cur = cur.reshape(b, nh, ph, nw, pw, q).mean(axis=(2, 4))
+        hh, ww = nh, nw
         pyramid.append(cur.reshape(b, hh * ww, q).astype(fmap1.dtype))
     return pyramid
 
@@ -119,7 +127,7 @@ def _lookup_pallas(pyramid_t, coords, radius, interpret=False):
     hh, ww = h, w
     for _lvl in pyramid_t:
         hw.append((hh, ww))
-        hh, ww = (hh // 2), (ww // 2)
+        hh, ww = max(hh // 2, 1), max(ww // 2, 1)
     n_levels = len(pyramid_t)
     cx = coords[..., 0].reshape(b, 1, q)
     cy = coords[..., 1].reshape(b, 1, q)
@@ -161,7 +169,7 @@ def _dense_from_t(pyramid_t, coords, radius):
     hh, ww = h, w
     for lvl in pyramid_t:
         std.append(lvl.reshape(b, hh, ww, -1).transpose(0, 3, 1, 2))
-        hh, ww = hh // 2, ww // 2
+        hh, ww = max(hh // 2, 1), max(ww // 2, 1)
     return lookup_corr_pyramid_dense(std, coords, radius)
 
 
