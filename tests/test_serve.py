@@ -105,6 +105,53 @@ def test_engine_serves_instructblip_backbone():
         eng.close()
 
 
+def test_engine_serves_mesh_sharded_vicuna():
+    """Mesh-sharded serving: the Vicuna-7B deployment layout (weights exceed
+    one chip's HBM, PARITY.md) must be drivable through ServingEngine, not
+    just the inference CLI — params placed by logical-axis annotations over
+    a dp x tp mesh, request batches sharded over dp."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from videotgb_tpu.serve import ServingEngine
+
+    # tiny preset has 2 heads -> tp=2 (the 7B runs tp=4/8; head count divides)
+    eng = ServingEngine("random:tiny", preset="tiny", batch_size=2,
+                        flow_frames=3, max_new_tokens=4, max_delay_ms=100.0,
+                        backbone="instructblip", mesh="dp=2,tp=2")
+    try:
+        assert dict(eng._mesh.shape) == {"dp": 2, "fsdp": 1, "tp": 2, "pp": 1}
+        # at least one weight actually lives sharded on the mesh
+        shardings = [x.sharding for x in jax.tree.leaves(eng.params)
+                     if isinstance(x.sharding, NamedSharding)]
+        assert any(s.spec != () and any(s.spec) for s in shardings)
+        rng = np.random.default_rng(11)
+        image = eng.cfg.instructblip.vit.image_size
+        fs = eng.cfg.tgb.flow_size
+        futs = []
+        for i in range(3):  # exercises a padded batch too (3 reqs, batch 2)
+            frames = rng.integers(0, 255,
+                                  (eng.cfg.num_frames, image, image, 3),
+                                  np.uint8)
+            flow = rng.integers(0, 255, (eng.flow_frames + 1, fs, fs, 3),
+                                np.uint8)
+            futs.append(eng.submit(frames, flow, f"sharded q{i}?"))
+        for f in futs:
+            r = f.result(timeout=600)
+            assert isinstance(r.answer, str)
+            assert len(r.selected_frames) == eng.cfg.nframe
+    finally:
+        eng.close()
+
+
+def test_serving_mesh_rejects_indivisible_batch():
+    from videotgb_tpu.serve import ServingEngine
+
+    with pytest.raises(ValueError, match="divisible"):
+        ServingEngine("random:tiny", preset="tiny", batch_size=3,
+                      flow_frames=3, mesh="dp=2,tp=4")
+
+
 def test_bf16_param_residency_default(engine):
     """Serving defaults to bf16 param residency: the flagship's f32 tree
     (16.3 GB) exceeds one v5e chip's HBM — the f32 path OOMed the serving

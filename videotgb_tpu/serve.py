@@ -71,11 +71,17 @@ class ServingEngine:
         sampler_base: str | None = None,
         backbone: str = "blip2",
         bf16_params: bool = True,
+        mesh: str = "",
     ):
         """``model_base``/``sampler_base``: tokenizer dirs for the LLM and
         the TGB sampler (same knobs as evalsuite/inference.py) — REQUIRED
         when serving real converted checkpoints; the byte-tokenizer fallback
-        only makes sense for random-weight smoke serving."""
+        only makes sense for random-weight smoke serving.
+
+        ``mesh`` ("dp=2,tp=4"): mesh-sharded serving for models that exceed
+        one chip's HBM (Vicuna-7B — the deployment layout in PARITY.md).
+        Params are placed by their logical-axis annotations, request batches
+        shard over dp; same pattern as evalsuite/inference.py --mesh."""
         import jax
 
         from videotgb_tpu.data.tokenizer import load_tokenizer
@@ -95,7 +101,28 @@ class ServingEngine:
         # leaves no activation headroom on one v5e chip (load_model does the
         # leaf-wise cast; see evalsuite.inference.bf16_residency)
         args.bf16_params = bf16_params
-        self.model, self.params, self.cfg = load_model(args)
+        self._mesh = None
+        if mesh:
+            from jax.sharding import NamedSharding
+
+            from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
+
+            self.model, self.params, self.cfg, specs = load_model(
+                args, with_specs=True)
+            kv = dict(p.split("=") for p in mesh.split(",") if p)
+            m = create_mesh(MeshConfig(
+                dp=int(kv.get("dp", 1)), fsdp=int(kv.get("fsdp", 1)),
+                tp=int(kv.get("tp", 1))))
+            dp_total = m.shape["dp"] * m.shape["fsdp"]
+            if batch_size % dp_total:
+                raise ValueError(f"batch_size {batch_size} must be divisible "
+                                 f"by dp*fsdp={dp_total}")
+            self.params = {"params": jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(m, s)),
+                self.params["params"], specs)}
+            self._mesh = m
+        else:
+            self.model, self.params, self.cfg = load_model(args)
         self.tok = load_tokenizer(model_base)
         self.sampler_tok = load_tokenizer(sampler_base)
         self.batch_size = batch_size
@@ -189,8 +216,12 @@ class ServingEngine:
         return group
 
     def _run(self):
+        import contextlib
+
         import jax
         import jax.numpy as jnp
+
+        from videotgb_tpu.parallel.sharding import shard_batch
 
         step = 0
         while True:
@@ -199,6 +230,8 @@ class ServingEngine:
                 return
             pad = self.batch_size - len(group)
             padded = group + [group[-1]] * pad
+            mesh_ctx = (self._mesh if self._mesh is not None
+                        else contextlib.nullcontext())
             try:
                 b = self.batch_size
                 questions = [r.question for r in padded]
@@ -224,14 +257,22 @@ class ServingEngine:
                         sq_enc["attention_mask"]),
                 }
                 flow_u8 = jnp.asarray(np.stack([r.flow_u8 for r in padded]))
+                if self._mesh is not None:
+                    bd = shard_batch(bd, self._mesh)
+                    flow_u8 = shard_batch(flow_u8, self._mesh)
                 key = jax.random.fold_in(self._key, step)
                 step += 1
-                sel_idx = np.asarray(
-                    self._select(self.params, flow_u8, bd, key))
+                with mesh_ctx:
+                    sel_idx = np.asarray(
+                        self._select(self.params, flow_u8, bd, key))
                 sel = np.stack([padded[i].frames_u8[sel_idx[i]]
                                 for i in range(b)])
-                tokens = np.asarray(
-                    self._answer(self.params, jnp.asarray(sel), bd, key))
+                sel_dev = jnp.asarray(sel)
+                if self._mesh is not None:
+                    sel_dev = shard_batch(sel_dev, self._mesh)
+                with mesh_ctx:
+                    tokens = np.asarray(
+                        self._answer(self.params, sel_dev, bd, key))
                 answers = self.tok.batch_decode(tokens,
                                                 skip_special_tokens=True)
                 now = time.perf_counter()
@@ -274,6 +315,10 @@ def main(argv=None):
     p.add_argument("--f32_params", action="store_true",
                    help="keep f32 param residency (default bf16: the "
                         "flagship's f32 weights exceed one v5e chip's HBM)")
+    p.add_argument("--mesh", default="",
+                   help="mesh-sharded serving, e.g. dp=2,tp=4 — the "
+                        "Vicuna-7B deployment layout (weights exceed one "
+                        "chip); batch_size must divide by dp*fsdp")
     args = p.parse_args(argv)
 
     engine = ServingEngine(
@@ -281,7 +326,7 @@ def main(argv=None):
         flow_frames=args.flow_frames, max_new_tokens=args.max_new_tokens,
         max_delay_ms=args.max_delay_ms, model_base=args.model_base,
         sampler_base=args.sampler_base, backbone=args.backbone,
-        bf16_params=not args.f32_params)
+        bf16_params=not args.f32_params, mesh=args.mesh)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
