@@ -189,6 +189,32 @@ def test_inference_cli_vicuna_sharded_mesh(qa_assets, tmp_path):
     assert len(rows) == 3
 
 
+def test_stop_word_encoding_strips_bos_and_eos():
+    """KeywordsStoppingCriteria semantics (builder_utils.py:323-326): a
+    LLaMA-style tokenizer prepends BOS to every encode — left in the stop
+    sequence it can never match a generated suffix, silently disabling
+    --stop. A trailing EOS (T5-style add_eos) is equally useless since EOS
+    already stops decode."""
+    from videotgb_tpu.data.tokenizer import ByteTokenizer
+    from videotgb_tpu.evalsuite.inference import encode_stop_words
+
+    bos_tok = ByteTokenizer(add_bos=True, add_eos=False)
+    [seq] = encode_stop_words(bos_tok, ["##"])
+    assert seq[0] != bos_tok.bos_token_id
+    assert seq == tuple(b + bos_tok.offset for b in b"##")
+
+    eos_tok = ByteTokenizer(add_bos=False, add_eos=True)
+    [seq] = encode_stop_words(eos_tok, ["##"])
+    assert seq[-1] != eos_tok.eos_token_id
+    assert seq == tuple(b + eos_tok.offset for b in b"##")
+
+    # single-token keywords are kept as-is (the reference strips BOS only
+    # when len > 1)
+    both = ByteTokenizer(add_bos=True, add_eos=True)
+    [seq] = encode_stop_words(both, ["#"])
+    assert len(seq) >= 1
+
+
 def test_flow_indices_match_reference_rule():
     """Index-math parity with the reference's flow/candidate sampling
     (eval/utils/builder_utils.py:25-45 and :131-139, emulated literally)."""

@@ -114,6 +114,28 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def encode_stop_words(tok, words) -> list[tuple[int, ...]]:
+    """Tokenize stop keywords the way KeywordsStoppingCriteria does
+    (eval/utils/builder_utils.py:323-326): strip the leading BOS that
+    LLaMA-style tokenizers prepend (otherwise the sequence can never match a
+    generated suffix), and drop a trailing EOS (T5-style tokenizers append
+    it; EOS already terminates decode on its own)."""
+    out = []
+    bos = getattr(tok, "bos_token_id", None)
+    eos = getattr(tok, "eos_token_id", None)
+    for word in words:
+        if not hasattr(tok, "encode"):
+            continue
+        ids = [int(t) for t in tok.encode(word)]
+        if len(ids) > 1 and bos is not None and ids[0] == bos:
+            ids = ids[1:]
+        if len(ids) > 1 and eos is not None and ids[-1] == eos:
+            ids = ids[:-1]
+        if ids:
+            out.append(tuple(ids))
+    return out
+
+
 def find_video(video_dir: str, video_name: str) -> str | None:
     for fmt in VIDEO_FORMATS:
         name = f"v_{video_name}{fmt}" if "Activitynet" in video_dir else f"{video_name}{fmt}"
@@ -335,12 +357,7 @@ def run_inference(args) -> str:
         do_sample=bool(args.do_sample),
         temperature=args.temperature,
     )
-    stop_sequences = tuple(
-        tuple(int(t) for t in tok.encode(word) if t != tok.eos_token_id)
-        if hasattr(tok, "encode") else ()
-        for word in args.stop
-    )
-    stop_sequences = tuple(s for s in stop_sequences if s)
+    stop_sequences = tuple(encode_stop_words(tok, args.stop))
     gen_core = generate_instructblip if decoder_only else generate_blip2
     gen = jax.jit(
         lambda params, batch, key: gen_core(
