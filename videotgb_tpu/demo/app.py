@@ -130,7 +130,8 @@ class Chat:
         gen = generate_instructblip if decoder_only else generate_blip2
         tokens, cand = gen(self.model, self.params, batch, dcfg,
                            jax.random.key(seed))
-        answer = self.tok.batch_decode(np.asarray(tokens))[0]
+        answer = self.tok.batch_decode(np.asarray(tokens),
+                                       skip_special_tokens=True)[0]
         cand_idx = np.asarray(cand[0]).tolist()
 
         thumbs = [raw[i] for i in cand_idx]
