@@ -105,6 +105,21 @@ def test_engine_serves_instructblip_backbone():
         eng.close()
 
 
+def test_engine_stats_snapshot(engine):
+    """stats() exposes served/queue/latency percentiles for the /v1/stats
+    endpoint (operational observability; latencies are the same measured
+    Reply.latency_ms that bench_serve.py reports)."""
+    frames, flow = _inputs(engine, seed=21)
+    engine.submit(frames, flow, "stats?").result(timeout=600)
+    s = engine.stats()
+    assert s["served"] >= 1
+    assert s["batches"] >= 1
+    assert s["batch_size"] == engine.batch_size
+    assert s["p50_ms"] > 0
+    assert s["throughput_req_s"] > 0
+    assert "queue_depth" in s and "uptime_s" in s
+
+
 def test_engine_serves_mesh_sharded_vicuna():
     """Mesh-sharded serving: the Vicuna-7B deployment layout (weights exceed
     one chip's HBM, PARITY.md) must be drivable through ServingEngine, not

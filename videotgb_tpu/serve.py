@@ -133,9 +133,36 @@ class ServingEngine:
         self._jax = jax
         self._key = jax.random.key(seed)
         self._queue: "queue.Queue[_Request | None]" = queue.Queue()
+        self._recent_lat: list[float] = []  # last N request latencies (ms)
+        self._served = 0
+        self._batches = 0
+        self._t_start = time.perf_counter()
         self._build_phases()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def stats(self) -> dict:
+        """Operational snapshot: served counts, queue depth, and latency
+        percentiles over the last ≤512 requests (measured end-to-end from
+        submit to reply, the same Reply.latency_ms bench_serve.py reports)."""
+        lat = list(self._recent_lat)
+        up = time.perf_counter() - self._t_start
+        out = {
+            "served": self._served,
+            "batches": self._batches,
+            "queue_depth": self._queue.qsize(),
+            "batch_size": self.batch_size,
+            "uptime_s": round(up, 1),
+            "throughput_req_s": round(self._served / up, 3) if up > 0 else 0.0,
+        }
+        if lat:
+            arr = np.asarray(lat)
+            out.update(
+                p50_ms=round(float(np.percentile(arr, 50)), 1),
+                p90_ms=round(float(np.percentile(arr, 90)), 1),
+                p99_ms=round(float(np.percentile(arr, 99)), 1),
+            )
+        return out
 
     # ------------------------------------------------------------- pipeline
     def _build_phases(self):
@@ -277,10 +304,15 @@ class ServingEngine:
                                                 skip_special_tokens=True)
                 now = time.perf_counter()
                 for i, r in enumerate(group):
+                    lat_ms = round((now - r.t_submit) * 1000, 1)
                     r.future.set_result(Reply(
                         answer=answers[i],
                         selected_frames=[int(x) for x in sel_idx[i]],
-                        latency_ms=round((now - r.t_submit) * 1000, 1)))
+                        latency_ms=lat_ms))
+                    self._recent_lat.append(lat_ms)
+                self._recent_lat = self._recent_lat[-512:]
+                self._served += len(group)
+                self._batches += 1
             except Exception as e:  # resolve futures even on failure
                 for r in group:
                     if not r.future.done():
@@ -331,6 +363,18 @@ def main(argv=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body, code = b'{"status": "ok"}', 200
+            elif self.path == "/v1/stats":
+                body, code = json.dumps(engine.stats()).encode(), 200
+            else:
+                body, code = b'{"error": "not found"}', 404
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             import email
