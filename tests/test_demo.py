@@ -32,6 +32,35 @@ def test_chat_generate_end_to_end(tmp_path):
     assert answer2 == answer
 
 
+def test_chat_generation_knobs(tmp_path):
+    """The reference demo's sliders (demo/demo.py:205-274): nframe widens the
+    selection, beams switch to beam search, top-p filters sampling — all on
+    the SAME loaded params (nframe only changes the gather width)."""
+    import cv2
+
+    from videotgb_tpu.demo.app import Chat
+
+    video = str(tmp_path / "clip.mp4")
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (64, 64))
+    rng = np.random.default_rng(2)
+    for _ in range(12):
+        writer.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    writer.release()
+
+    chat = Chat(model_path="random:tiny", flow_frames=3, max_new_tokens=3)
+    _, cand2, thumbs2, _ = chat.generate(video, "q?", do_sample=False,
+                                         nframe=2)
+    assert len(cand2) == 2 and len(thumbs2) == 2
+    answer_beam, cand, *_ = chat.generate(video, "q?", do_sample=False,
+                                          num_beams=2)
+    assert isinstance(answer_beam, str)
+    assert len(cand) == chat.cfg.nframe  # default nframe restored
+    answer_tp, *_ = chat.generate(video, "q?", do_sample=True, top_p=0.5,
+                                  temperature=0.7)
+    assert isinstance(answer_tp, str)
+
+
 def test_http_server_round_trip(tmp_path):
     """Drive the actual HTTP surface: multipart POST with a video -> JSON."""
     import io

@@ -84,9 +84,25 @@ class Chat:
         self._cache[video_path] = (raw, frames, flow_rgb)
         return self._cache[video_path]
 
+    def _model_for_nframe(self, nframe: int | None):
+        """nframe only widens the selection gather, so the SAME params drive
+        a config-replaced model view (reference demo slider, demo.py:205-274;
+        each distinct nframe compiles its own program, cached by jit)."""
+        if nframe in (None, self.cfg.nframe):
+            return self.model, self.cfg
+        import dataclasses
+
+        from videotgb_tpu.models.videotgb import VideoTGB
+
+        cfg = dataclasses.replace(self.cfg, nframe=int(nframe))
+        return VideoTGB(cfg), cfg
+
     def generate(self, video_path: str, question: str,
                  temperature: float = 0.2, do_sample: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, num_beams: int = 1, top_p: float = 1.0,
+                 nframe: int | None = None, max_new_tokens: int | None = None):
+        """Generation-parameter knobs mirror the reference demo sliders
+        (demo/demo.py:205-274: nframe / beams / top-p / temperature)."""
         import jax
         import jax.numpy as jnp
 
@@ -95,6 +111,7 @@ class Chat:
             generate_blip2, generate_instructblip)
         from videotgb_tpu.ops.decode import DecodeConfig
 
+        model, _cfg = self._model_for_nframe(nframe)
         raw, frames, flow_rgb = self._prep_video(video_path)
         prompt = f"USER: <video>\n{question} ASSISTANT: "
         q = self.tok([prompt], padding="max_length", max_length=64)
@@ -123,12 +140,13 @@ class Chat:
             eos_id = self.cfg.blip2.t5.eos_token_id
             pad_id = self.cfg.blip2.t5.pad_token_id
         dcfg = DecodeConfig(
-            max_new_tokens=self.max_new_tokens,
+            max_new_tokens=max_new_tokens or self.max_new_tokens,
             eos_token_id=eos_id, pad_token_id=pad_id,
-            do_sample=do_sample, temperature=temperature,
+            do_sample=do_sample and num_beams == 1, temperature=temperature,
+            num_beams=max(int(num_beams), 1), top_p=top_p,
         )
         gen = generate_instructblip if decoder_only else generate_blip2
-        tokens, cand = gen(self.model, self.params, batch, dcfg,
+        tokens, cand = gen(model, self.params, batch, dcfg,
                            jax.random.key(seed))
         answer = self.tok.batch_decode(np.asarray(tokens),
                                        skip_special_tokens=True)[0]
@@ -155,11 +173,16 @@ body{font-family:sans-serif;max-width:900px;margin:2em auto}
 <form id=f><input type=file id=video accept=video/*>
 <input id=q size=50 placeholder="ask about the video">
 <label>temp <input id=t type=number step=0.1 value=0.2 style="width:4em"></label>
+<label>nframe <input id=nf type=number min=1 max=32 value=4 style="width:4em"></label>
+<label>beams <input id=nb type=number min=1 max=8 value=1 style="width:4em"></label>
+<label>top-p <input id=tp type=number step=0.05 min=0 max=1 value=1.0 style="width:4em"></label>
 <button>Ask</button></form><div id=chat></div>
 <script>
 f.onsubmit=async e=>{e.preventDefault();
 const fd=new FormData();fd.append('video',video.files[0]);
 fd.append('question',q.value);fd.append('temperature',t.value);
+fd.append('nframe',nf.value);fd.append('num_beams',nb.value);
+fd.append('top_p',tp.value);
 chat.innerHTML+=`<div class="msg user">${q.value}</div>`;
 const r=await fetch('/generate',{method:'POST',body:fd});const d=await r.json();
 let imgs=d.frames.map(b=>`<img src="data:image/png;base64,${b}">`).join('');
@@ -204,7 +227,11 @@ def make_handler(chat: Chat):
             try:
                 answer, cand, thumbs, flows = chat.generate(
                     path, fields.get("question", ""),
-                    temperature=float(fields.get("temperature", 0.2)))
+                    temperature=float(fields.get("temperature", 0.2)),
+                    nframe=int(fields["nframe"]) if fields.get("nframe")
+                    else None,
+                    num_beams=int(fields.get("num_beams", 1)),
+                    top_p=float(fields.get("top_p", 1.0)))
                 payload = {
                     "answer": answer, "cand": cand,
                     "frames": [_png_b64(t) for t in thumbs],
