@@ -160,3 +160,46 @@ def test_prefetch_loader_yields_all_batches():
     b1 = list(loader)[0]["_idxs"]
     b2 = list(loader)[0]["_idxs"]
     assert len(batches[0]["_idxs"]) == 4
+
+
+def test_prefetch_loader_early_break_retires_producer():
+    """Breaking mid-epoch (trainer max_steps / early stop / sweep trials)
+    must retire the producer thread instead of leaving it blocked forever on
+    the full prefetch queue — a long sweep process would otherwise leak a
+    thread + an 8-worker pool per abandoned epoch."""
+    import threading
+    import time
+
+    before = threading.active_count()
+    ds = list(range(64))
+    loader = PrefetchLoader(
+        ds, batch_size=2, collate_fn=lambda s: {"x": np.asarray(s)},
+        num_workers=2, prefetch=2, shuffle=False,
+    )
+    it = iter(loader)
+    next(it)
+    it.close()  # what an abandoning for-loop does via GC
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_prefetch_loader_propagates_producer_exception():
+    """A raising __getitem__/collate must surface in the consumer — before
+    the fix the producer thread died silently and the training loop hung on
+    the queue forever."""
+
+    class Boom(list):
+        def __getitem__(self, i):
+            if i == 3:
+                raise RuntimeError("bad sample")
+            return super().__getitem__(i)
+
+    ds = Boom(range(8))
+    loader = PrefetchLoader(
+        ds, batch_size=2, collate_fn=lambda s: {"x": np.asarray(s)},
+        num_workers=2, shuffle=False,
+    )
+    with pytest.raises(RuntimeError, match="bad sample"):
+        list(loader)

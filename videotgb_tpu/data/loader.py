@@ -60,22 +60,52 @@ class PrefetchLoader:
         batches = self._batches()
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # consumer gone: abandon without blocking
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce() -> None:
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    out.put(self.collate_fn(samples))
-            out.put(sentinel)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, batch_idx))
+                        if not put(self.collate_fn(samples)):
+                            return
+                put(sentinel)
+            except BaseException as e:  # noqa: BLE001 — surface in consumer:
+                put(e)  # a dead producer must not hang out.get() forever
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = out.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # early break / generator close (trainer max_steps, early stop,
+            # sweep trials): unblock and retire the producer instead of
+            # leaking a thread + its worker pool per abandoned epoch
+            stop.set()
+            try:
+                while True:
+                    out.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=10)
 
 
 def device_batch(batch: dict) -> dict:
