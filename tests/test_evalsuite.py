@@ -164,8 +164,9 @@ def test_inference_cli_vicuna_backbone(qa_assets, tmp_path):
 
 
 def test_inference_cli_vicuna_sharded_mesh(qa_assets, tmp_path):
-    """--mesh dp=2,tp=2 sharded inference on the CPU mesh (the serving
-    layout for a Vicuna-7B that exceeds one chip's HBM)."""
+    """--mesh dp=2,tp=2,sp=2 sharded inference on the CPU mesh (the serving
+    layout for a Vicuna-7B that exceeds one chip's HBM; sp token-shards the
+    prefill residual streams, decode steps stay batch-sharded)."""
     import json as jsonlib
 
     from videotgb_tpu.evalsuite.inference import parse_args, run_inference
@@ -174,7 +175,7 @@ def test_inference_cli_vicuna_sharded_mesh(qa_assets, tmp_path):
     args = parse_args([
         "--model_path", "random:tiny",
         "--backbone", "instructblip",
-        "--mesh", "dp=2,tp=2",
+        "--mesh", "dp=2,tp=2,sp=2",
         "--video_dir", str(video_dir),
         "--gt_file_question", str(root / "q.json"),
         "--gt_file_answers", str(root / "a.json"),

@@ -72,7 +72,7 @@ def test_parse_overrides_types():
 # --------------------------------------------------------------------- mesh
 def test_mesh_axes_and_sizes():
     mesh = create_mesh(MeshConfig(dp=-1, fsdp=1, tp=1))
-    assert mesh.axis_names == ("dp", "fsdp", "tp", "pp")
+    assert mesh.axis_names == ("dp", "fsdp", "tp", "pp", "sp")
     assert mesh.devices.size == len(jax.devices())
 
     mesh2 = create_mesh(MeshConfig(dp=2, fsdp=2, tp=2))

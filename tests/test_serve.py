@@ -135,7 +135,8 @@ def test_engine_serves_mesh_sharded_vicuna():
                         flow_frames=3, max_new_tokens=4, max_delay_ms=100.0,
                         backbone="instructblip", mesh="dp=2,tp=2")
     try:
-        assert dict(eng._mesh.shape) == {"dp": 2, "fsdp": 1, "tp": 2, "pp": 1}
+        assert dict(eng._mesh.shape) == {"dp": 2, "fsdp": 1, "tp": 2, "pp": 1,
+                                         "sp": 1}
         # at least one weight actually lives sharded on the mesh
         shardings = [x.sharding for x in jax.tree.leaves(eng.params)
                      if isinstance(x.sharding, NamedSharding)]

@@ -328,7 +328,7 @@ def run_inference(args) -> str:
         kv = dict(p.split("=") for p in args.mesh.split(",") if p)
         mesh = create_mesh(MeshConfig(
             dp=int(kv.get("dp", 1)), fsdp=int(kv.get("fsdp", 1)),
-            tp=int(kv.get("tp", 1))))
+            tp=int(kv.get("tp", 1)), sp=int(kv.get("sp", 1))))
         dp_total = mesh.shape["dp"] * mesh.shape["fsdp"]
         if args.batch_size % dp_total:
             raise SystemExit(f"--batch_size {args.batch_size} must be "
@@ -410,7 +410,13 @@ def run_inference(args) -> str:
     # while batch N runs flow + generation on device (the host loop below is
     # mostly blocked on transfers/execution, which frees the core for cv2)
     next_fut = prefetcher.submit(decode_group, groups[0][2]) if groups else None
-    with open(out_path, "w") as ans_file:
+    # mesh context so in-model constrain_batch() pins activation shardings
+    # (batch over dp, prefill tokens over sp) — without it only the param
+    # shardings steer GSPMD (serve.py does the same around its device calls)
+    import contextlib
+
+    mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
+    with mesh_ctx, open(out_path, "w") as ans_file:
         for gi, (start, group, padded) in enumerate(groups):
             decoded = next_fut.result()
             if gi + 1 < len(groups):

@@ -122,12 +122,14 @@ class _ScanLlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cache, positions, bias, cache_index):
+        from videotgb_tpu.parallel.sharding import constrain_batch
+
         block_cls = nn.remat(LlamaBlock) if self.config.remat else LlamaBlock
         x, new_cache = block_cls(self.config, name="layer")(
             x, positions, bias, cache=cache, cache_index=cache_index)
         if cache is None:
             new_cache = 0  # concrete per-step scan output
-        return x, new_cache
+        return constrain_batch(x), new_cache
 
 
 class LlamaModel(nn.Module):
@@ -199,8 +201,11 @@ class LlamaModel(nn.Module):
             elif cfg_scan:
                 x, _ = self.blocks_scan(x, None, positions, bias, None)
             else:
+                from videotgb_tpu.parallel.sharding import constrain_batch
+
                 for block in self.blocks:
                     x, _ = block(x, positions, bias)
+                    x = constrain_batch(x)
         else:
             first_k = caches["k"] if cfg_scan else caches[0]["k"]
             s_max = first_k.shape[-2]

@@ -10,6 +10,10 @@ XLA collectives on the ICI fabric. We expose three axes:
   tp    — tensor parallel (attention heads / MLP hidden sharded)
   pp    — pipeline parallel (scanned-tower layer stages; parallel.pipeline
           streams microbatches between neighbours with ppermute)
+  sp    — sequence parallel (Megatron-SP style: the transformer residual
+          stream is token-sharded between layers via constrain_batch; GSPMD
+          inserts the all-gather into attention and the reduce-scatter out
+          of it). Optional headroom beyond the reference (SURVEY.md §5.7).
 
 Axis sizes multiply to the device count. The default recipe parity layout is
 pure-dp (the reference trains DDPx4); inference of Vicuna-7B uses dp x tp.
@@ -29,7 +33,8 @@ DATA_AXIS = "dp"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tp"
 PIPELINE_AXIS = "pp"
-AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, PIPELINE_AXIS)
+SEQUENCE_AXIS = "sp"
+AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS, PIPELINE_AXIS, SEQUENCE_AXIS)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,9 +45,10 @@ class MeshConfig:
     fsdp: int = 1
     tp: int = 1
     pp: int = 1
+    sp: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
-        sizes = [self.dp, self.fsdp, self.tp, self.pp]
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int, int]:
+        sizes = [self.dp, self.fsdp, self.tp, self.pp, self.sp]
         wildcard = [i for i, s in enumerate(sizes) if s == -1]
         if len(wildcard) > 1:
             raise ValueError("at most one mesh axis may be -1")
@@ -70,10 +76,10 @@ def create_mesh(
     """
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
-    if -1 not in (config.dp, config.fsdp, config.tp, config.pp):
-        # fully specified layout: use the first dp*fsdp*tp*pp devices (e.g.
+    if -1 not in (config.dp, config.fsdp, config.tp, config.pp, config.sp):
+        # fully specified layout: use the first dp*fsdp*tp*pp*sp devices (e.g.
         # the single-device debug trainer on a multi-device host)
-        want = config.dp * config.fsdp * config.tp * config.pp
+        want = config.dp * config.fsdp * config.tp * config.pp * config.sp
         if want <= len(devices):
             devices = devices[:want]
     shape = config.resolve(len(devices))

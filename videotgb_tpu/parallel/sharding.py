@@ -25,7 +25,7 @@ from flax import linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from videotgb_tpu.parallel.mesh import (
-    DATA_AXIS, FSDP_AXIS, PIPELINE_AXIS, TENSOR_AXIS)
+    DATA_AXIS, FSDP_AXIS, PIPELINE_AXIS, SEQUENCE_AXIS, TENSOR_AXIS)
 
 # rules: logical axis name -> mesh axis (or None = replicate)
 DEFAULT_RULES: tuple[tuple[str, Any], ...] = (
@@ -141,19 +141,31 @@ def active_mesh() -> Mesh | None:
 
 
 def constrain_batch(x: Any) -> Any:
-    """Pin an activation's leading axis to the dp(+fsdp) mesh axes.
+    """Pin an activation's leading axis to the dp(+fsdp) mesh axes — and,
+    when the mesh carries a sequence-parallel extent, its token axis to sp.
 
     No-op without an active mesh context (single-chip, CPU tests). Model code
     calls this on activations whose sharding XLA would otherwise have to
     guess — the fix for the spmd_partitioner.cc "involuntary full
     rematerialization" warnings around the TGB in the r1 multichip dryrun.
+
+    Sequence parallelism (Megatron-SP over GSPMD): every call site is a
+    (B, T, D) residual stream between transformer layers, so constraining
+    axis 1 to the sp mesh axis token-shards LayerNorm/MLP/elementwise work
+    while GSPMD inserts the all-gather into attention (which needs the full
+    sequence) and the reduce-scatter back out. Decode steps (T=1) and other
+    non-divisible token counts skip the sp part and stay batch-sharded only.
     """
     mesh = active_mesh()
     if mesh is None or x.shape[0] % (
             mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]):
         return x
+    spec = [(DATA_AXIS, FSDP_AXIS)]
+    sp = mesh.shape.get(SEQUENCE_AXIS, 1)
+    if sp > 1 and x.ndim >= 3 and x.shape[1] % sp == 0:
+        spec.append(SEQUENCE_AXIS)
     return jax.lax.with_sharding_constraint(
-        x, NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS))))
+        x, NamedSharding(mesh, P(*spec)))
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

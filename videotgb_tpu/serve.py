@@ -112,7 +112,7 @@ class ServingEngine:
             kv = dict(p.split("=") for p in mesh.split(",") if p)
             m = create_mesh(MeshConfig(
                 dp=int(kv.get("dp", 1)), fsdp=int(kv.get("fsdp", 1)),
-                tp=int(kv.get("tp", 1))))
+                tp=int(kv.get("tp", 1)), sp=int(kv.get("sp", 1))))
             dp_total = m.shape["dp"] * m.shape["fsdp"]
             if batch_size % dp_total:
                 raise ValueError(f"batch_size {batch_size} must be divisible "

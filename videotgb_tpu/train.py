@@ -251,7 +251,8 @@ def train(cfg: Config) -> dict[str, float]:
         monitor=tcfg_raw.get("monitor", "val/iou_score"),
         seed=seed,
         mesh=MeshConfig(dp=tcfg_raw.get("dp", -1), fsdp=tcfg_raw.get("fsdp", 1),
-                        tp=tcfg_raw.get("tp", 1), pp=tcfg_raw.get("pp", 1)),
+                        tp=tcfg_raw.get("tp", 1), pp=tcfg_raw.get("pp", 1),
+                        sp=tcfg_raw.get("sp", 1)),
     )
 
     def loss_fn(params, batch, key):

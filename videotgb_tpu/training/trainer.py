@@ -3,7 +3,7 @@ checkpointing, early stopping.
 
 TPU-native replacement for lightning.Trainer as the reference uses it
 (reference: src/train.py:60-98, configs/trainer/*.yaml): params/opt-state are
-placed on the (dp, fsdp, tp) mesh by their logical annotations, the batch is
+placed on the (dp, fsdp, tp, pp, sp) mesh by their logical annotations, the batch is
 dp-sharded, and one jit'd step computes grads (accumulated over
 ``accumulate_grad_batches`` micro-batches with lax.scan), applies the masked
 AdamW update, and returns host-reducible metric scalars. Checkpoints go
