@@ -160,6 +160,43 @@ def test_select_frames_exhaustive_against_oracle():
         assert got[i].tolist() == expected, (i, s, e, L)
 
 
+def test_select_frames_ratio_rule_exhaustive_against_oracle_and_torch():
+    """The Vicuna-family rescale int(i/L*F) (LSTP_module.py:245,
+    eval/utils/model.py:135) with exclusive span ends; oracle mirrors torch's
+    f32 op order, and a torch cross-check pins that order down."""
+    num_frames, nframe = 32, 4
+    rng = np.random.default_rng(3)
+    cases = []
+    for L in [1, 2, 3, 5, 17, 63, 64]:
+        for _ in range(25):
+            cases.append((rng.integers(0, 70, 2), rng.integers(0, 70, 2), L))
+    cases += [
+        (np.array([0, 0]), np.array([0, 0]), 64),
+        (np.array([5, 5]), np.array([5, 5]), 64),
+        (np.array([1, 2]), np.array([3, 6]), 3),  # f32 two-step rounding zone
+    ]
+    starts = jnp.asarray(np.stack([c[0] for c in cases]))
+    ends = jnp.asarray(np.stack([c[1] for c in cases]))
+    lengths = jnp.asarray(np.array([c[2] for c in cases]))
+    got = jax.jit(
+        lambda s, e, l: select_frames_from_spans(
+            s, e, l, num_frames, nframe, inclusive_end=False, rescale="ratio")
+    )(starts, ends, lengths)
+    for i, (s, e, L) in enumerate(cases):
+        expected = select_frames_reference_np(
+            s, e, L, num_frames, nframe, inclusive_end=False, rescale="ratio")
+        assert got[i].tolist() == expected, (i, s, e, L)
+
+    torch = pytest.importorskip("torch")
+    # pin the oracle's f32 semantics to the actual torch expression
+    for idx in range(0, 70, 7):
+        for L in (3, 17, 63):
+            t = int(torch.tensor(idx, dtype=torch.long) / L * num_frames)
+            o = int(np.float32(np.float32(idx) / np.float32(L))
+                    * np.float32(num_frames))
+            assert t == o, (idx, L)
+
+
 def test_select_frames_nframe_variants():
     # nframe=8 and nframe=1 paths (duplication depth varies)
     for nframe in (1, 2, 8):

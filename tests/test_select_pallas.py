@@ -54,3 +54,19 @@ def test_pallas_select_degenerate_and_short_videos():
     expected = select_frames_from_spans(starts, ends, vl, F, NF,
                                         inclusive_end=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_pallas_select_ratio_rescale_variant(rng):
+    # the Vicuna int(i/L*F) rule (eval/utils/model.py:135)
+    B, L, F, NF = 8, 64, 32, 4
+    sl = jnp.asarray(rng.standard_normal((B, L)), jnp.float32)
+    el = jnp.asarray(rng.standard_normal((B, L)), jnp.float32)
+    vl = jnp.asarray(rng.integers(2, 64, (B,)), jnp.int32)
+    got = select_frames_pallas(sl, el, vl, seed=0, num_frames=F, nframe=NF,
+                               noise_scale=0.0, inclusive_end=False,
+                               rescale="ratio", interpret=True)
+    starts = jnp.tile(jnp.argmax(sl, axis=1)[:, None], (1, 2))
+    ends = jnp.tile(jnp.argmax(el, axis=1)[:, None], (1, 2))
+    expected = select_frames_from_spans(starts, ends, vl, F, NF,
+                                        inclusive_end=False, rescale="ratio")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))

@@ -25,6 +25,7 @@ shapes); --flow_mode=fixed restores the legacy fixed-stride sampler.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import math
 import os
@@ -323,12 +324,9 @@ def run_inference(args) -> str:
         # pattern proven in tests/test_sharded_inference.py), batch over dp
         from jax.sharding import NamedSharding
 
-        from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
+        from videotgb_tpu.parallel.mesh import create_mesh, parse_mesh_spec
 
-        kv = dict(p.split("=") for p in args.mesh.split(",") if p)
-        mesh = create_mesh(MeshConfig(
-            dp=int(kv.get("dp", 1)), fsdp=int(kv.get("fsdp", 1)),
-            tp=int(kv.get("tp", 1)), sp=int(kv.get("sp", 1))))
+        mesh = create_mesh(parse_mesh_spec(args.mesh, allow_pp=False))
         dp_total = mesh.shape["dp"] * mesh.shape["fsdp"]
         if args.batch_size % dp_total:
             raise SystemExit(f"--batch_size {args.batch_size} must be "
@@ -413,8 +411,6 @@ def run_inference(args) -> str:
     # mesh context so in-model constrain_batch() pins activation shardings
     # (batch over dp, prefill tokens over sp) — without it only the param
     # shardings steer GSPMD (serve.py does the same around its device calls)
-    import contextlib
-
     mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
     with mesh_ctx, open(out_path, "w") as ans_file:
         for gi, (start, group, padded) in enumerate(groups):

@@ -213,14 +213,17 @@ class VideoTGB(nn.Module):
         video_length: jax.Array,
         key: jax.Array,
         inclusive_end: bool = True,
+        rescale: str = "minus1",
     ) -> jax.Array:
+        """``rescale``: "minus1" = BLIP2/SF rule int(i*(F-1)/(L-1)),
+        "ratio" = Vicuna rule int(i/L*F) (see ops.select)."""
         cfg = self.config
         starts, ends = gumbel_span_sample(
             start_logits, end_logits, key, cfg.top_k, cfg.gumbel_tau
         )
         return select_frames_from_spans(
             starts, ends, video_length, cfg.num_frames, cfg.nframe,
-            inclusive_end=inclusive_end,
+            inclusive_end=inclusive_end, rescale=rescale,
         )
 
     # ------------------------------------------------- backbone entry points
@@ -345,6 +348,14 @@ class VideoTGB(nn.Module):
         # stays non-degenerate (stride-8 fmap 8x8 -> 1x1 at level 3)
         tiny = jnp.zeros((1, 2, 64, 64, 3))
         _ = self.compute_flow(tiny)
+        # the fork's reserved flow projection (xblip2.py:1551 /
+        # xinstructblip.py:1268, Linear(qformer_hidden -> lm_hidden)): dead
+        # in every forward path but part of the released checkpoint — touch
+        # it so the param tree has a destination for conversion
+        bcfg = (self.config.blip2 if self.config.backbone == "blip2"
+                else self.config.instructblip)
+        _ = self.model.temporal_projection(
+            jnp.zeros((1, bcfg.qformer.hidden_size)))
         return logits
 
     def prepare_llama_inference(
@@ -369,8 +380,10 @@ class VideoTGB(nn.Module):
             flow, flow_mask, sampler_question_ids, sampler_question_mask,
             "multi_modal",
         )
+        # the Vicuna family rescales spans with int(i/L*F), NOT the BLIP2
+        # int(i*(F-1)/(L-1)) rule (eval/utils/model.py:135 vs :350)
         cand = self.select_frames(start_logits, end_logits, video_length, key,
-                                  inclusive_end=False)
+                                  inclusive_end=False, rescale="ratio")
         visual = self.encode_selected(
             frames, cand, mean_pool=True,
             qformer_input_ids=qformer_input_ids,
@@ -508,6 +521,7 @@ def select_phase_blip2(
     batch: dict[str, jax.Array],
     key: jax.Array,
     mode: str = "fusion",
+    rescale: str = "minus1",
 ) -> jax.Array:
     """Phase 1 of the low-host-bandwidth serving split: RAFT + TGB + Gumbel
     selection on device from the (small) flow frames only. The host ships
@@ -515,14 +529,16 @@ def select_phase_blip2(
     selected candidate frames to :func:`answer_phase_blip2` — the full
     32-frame slab never crosses the host link. ``mode`` is "fusion" for the
     T5 backbones, "multi_modal" for Vicuna (eval/utils/model.py:92-100 vs
-    :306-314)."""
+    :306-314); ``rescale`` is "minus1" for T5, "ratio" for Vicuna
+    (eval/utils/model.py:350 vs :135)."""
     flow = model.apply(params, flow_rgb_u8.astype(jnp.float32),
                        method=model.flow_features)
     _, sl, el = model.apply(
         params, flow, batch["flow_mask"], batch["sampler_question_ids"],
         batch["sampler_question_mask"], mode, method=model.span_logits)
     return model.apply(params, sl, el, batch["video_length"], key,
-                       inclusive_end=False, method=model.select_frames)
+                       inclusive_end=False, rescale=rescale,
+                       method=model.select_frames)
 
 
 def answer_phase_blip2(

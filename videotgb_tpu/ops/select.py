@@ -67,6 +67,7 @@ def select_frames_from_spans(
     num_frames: int,
     nframe: int,
     inclusive_end: bool = True,
+    rescale: str = "minus1",
 ) -> jax.Array:
     """Vectorized steps 2-4. starts/ends: (B, K) flow-domain; video_length (B,).
 
@@ -76,7 +77,18 @@ def select_frames_from_spans(
     (LSTP_SF_blip2_module.py:297) while the standalone inference path unions
     range(s, e) — exclusive (eval/utils/model.py:352). Default matches
     training.
+
+    ``rescale``: the flow->frame index mapping. "minus1" is the BLIP2/SF rule
+    int(idx*(F-1)/(L-1)) (LSTP_SF_blip2_module.py:296, eval/utils/model.py:350);
+    "ratio" is the Vicuna-family rule int(idx/L*F) (LSTP_module.py:245,
+    eval/utils/model.py:135, demo/utils/model.py:115). The ratio rule is
+    evaluated in float32 with the reference's torch operation order
+    (long/int -> f32 division, then f32 multiply, then trunc) so results are
+    bit-identical even where the two-step rounding differs from exact
+    integer arithmetic.
     """
+    if rescale not in ("minus1", "ratio"):
+        raise ValueError(f"unknown rescale rule: {rescale!r}")
     starts = starts.astype(jnp.int32)
     ends = ends.astype(jnp.int32)
     length = video_length.astype(jnp.int32)[:, None]  # (B, 1)
@@ -85,10 +97,17 @@ def select_frames_from_spans(
     starts = jnp.where(invalid, 0, starts)
     ends = jnp.where(invalid, length - 1, ends)
 
-    # flow domain -> frame domain: int(idx * (F-1) / (L-1))
-    denom = jnp.maximum(length - 1, 1)
-    s = (starts * (num_frames - 1)) // denom
-    e = (ends * (num_frames - 1)) // denom
+    if rescale == "minus1":
+        # flow domain -> frame domain: int(idx * (F-1) / (L-1)); integer
+        # floor matches the reference's f32 trunc for all in-range values
+        # (quotients stay > 2^-12 away from integers, f32 eps ~ 2^-23*k)
+        denom = jnp.maximum(length - 1, 1)
+        s = (starts * (num_frames - 1)) // denom
+        e = (ends * (num_frames - 1)) // denom
+    else:
+        lf = length.astype(jnp.float32)
+        s = jnp.floor(starts.astype(jnp.float32) / lf * num_frames).astype(jnp.int32)
+        e = jnp.floor(ends.astype(jnp.float32) / lf * num_frames).astype(jnp.int32)
 
     frame_ids = jnp.arange(num_frames, dtype=jnp.int32)  # (F,)
     # union over K spans; an inverted/empty span contributes nothing,
@@ -131,10 +150,14 @@ def select_frames(
     nframe: int,
     top_k: int = 2,
     tau: float = 0.5,
+    inclusive_end: bool = True,
+    rescale: str = "minus1",
 ) -> jax.Array:
     """Full selection op: Gumbel span sampling + fixed-size gather indices."""
     starts, ends = gumbel_span_sample(start_logits, end_logits, key, top_k, tau)
-    return select_frames_from_spans(starts, ends, video_length, num_frames, nframe)
+    return select_frames_from_spans(starts, ends, video_length, num_frames,
+                                    nframe, inclusive_end=inclusive_end,
+                                    rescale=rescale)
 
 
 def select_frames_reference_np(
@@ -144,9 +167,12 @@ def select_frames_reference_np(
     num_frames: int,
     nframe: int,
     inclusive_end: bool = True,
+    rescale: str = "minus1",
 ) -> list[int]:
     """Golden oracle: faithful port of the reference python loop
-    (LSTP_SF_blip2_module.py:283-313). starts/ends: (K,) for one sample."""
+    (LSTP_SF_blip2_module.py:283-313; rescale="ratio" follows
+    LSTP_module.py:245 / eval/utils/model.py:135 in torch's f32 operation
+    order). starts/ends: (K,) for one sample."""
     cand_index: set[int] = set()
     for cand_start, cand_end in zip(starts, ends):
         cand_start, cand_end = int(cand_start), int(cand_end)
@@ -156,9 +182,16 @@ def select_frames_reference_np(
             or (cand_start == 0 and cand_end == 0)
         ):
             cand_start, cand_end = 0, video_length - 1
-        denom = max(video_length - 1, 1)
-        s = int(cand_start * (num_frames - 1) / denom)
-        e = int(cand_end * (num_frames - 1) / denom)
+        if rescale == "minus1":
+            denom = max(video_length - 1, 1)
+            s = int(cand_start * (num_frames - 1) / denom)
+            e = int(cand_end * (num_frames - 1) / denom)
+        else:
+            # torch long/int -> f32 division, then f32 multiply, then trunc
+            s = int(np.float32(np.float32(cand_start) / np.float32(video_length))
+                    * np.float32(num_frames))
+            e = int(np.float32(np.float32(cand_end) / np.float32(video_length))
+                    * np.float32(num_frames))
         cand_index |= set(range(s, e + 1 if inclusive_end else e))
     cand = sorted(cand_index)
     if not cand:

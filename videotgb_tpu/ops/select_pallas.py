@@ -41,6 +41,7 @@ def _select_kernel(
     nframe: int,
     noise_scale: float,
     inclusive_end: bool,
+    rescale: str,
 ):
     b, l = start_ref.shape
     if noise_scale != 0.0:  # hardware PRNG only on TPU
@@ -73,8 +74,15 @@ def _select_kernel(
         )
         cand_start = jnp.where(invalid, 0, cand_start)
         cand_end = jnp.where(invalid, length - 1, cand_end)
-        s = (cand_start * (num_frames - 1)) // denom  # (B, 1)
-        e = (cand_end * (num_frames - 1)) // denom
+        if rescale == "minus1":
+            s = (cand_start * (num_frames - 1)) // denom  # (B, 1)
+            e = (cand_end * (num_frames - 1)) // denom
+        else:  # Vicuna rule int(idx/L*F) in the reference's f32 op order
+            lf = length.astype(jnp.float32)
+            s = jnp.floor(cand_start.astype(jnp.float32) / lf
+                          * num_frames).astype(jnp.int32)
+            e = jnp.floor(cand_end.astype(jnp.float32) / lf
+                          * num_frames).astype(jnp.int32)
         upper = frame_ids <= e if inclusive_end else frame_ids < e
         mask = mask | ((frame_ids >= s) & upper)
 
@@ -122,13 +130,16 @@ def select_frames_pallas(
     top_k: int = 2,
     noise_scale: float = 1.0,
     inclusive_end: bool = False,
+    rescale: str = "minus1",
     interpret: bool = False,
 ) -> jax.Array:
     """Fused selection -> (B, nframe) int32 frame indices."""
     b, l = start_logits.shape
+    if rescale not in ("minus1", "ratio"):
+        raise ValueError(f"unknown rescale rule: {rescale!r}")
     kernel = functools.partial(
         _select_kernel, top_k=top_k, num_frames=num_frames, nframe=nframe,
-        noise_scale=noise_scale, inclusive_end=inclusive_end,
+        noise_scale=noise_scale, inclusive_end=inclusive_end, rescale=rescale,
     )
     return pl.pallas_call(
         kernel,

@@ -64,6 +64,41 @@ class MeshConfig:
         return tuple(sizes)  # type: ignore[return-value]
 
 
+def parse_mesh_spec(spec: str, allow_pp: bool = True) -> MeshConfig:
+    """Parse a CLI mesh string like ``"dp=2,tp=4"`` into a :class:`MeshConfig`.
+
+    Unknown axis names (typos like ``ps=2``) raise instead of silently
+    producing a default mesh. ``allow_pp=False`` rejects ``pp`` with a clear
+    message for entry points that have no pipeline schedule (serving /
+    batch inference shard with dp/fsdp/tp/sp only; pp lives in the trainer,
+    parallel/pipeline.py).
+    """
+    kv: dict[str, int] = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(
+                f"bad mesh spec item {part!r} (expected axis=size, "
+                f"e.g. 'dp=2,tp=4')")
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in AXIS_NAMES:
+            raise ValueError(
+                f"unknown mesh axis {k!r}; valid axes: {', '.join(AXIS_NAMES)}")
+        if k == PIPELINE_AXIS and not allow_pp:
+            raise ValueError(
+                "pp (pipeline parallel) is only available in the trainer "
+                "(parallel/pipeline.py); shard serving/inference with "
+                "dp/fsdp/tp/sp")
+        try:
+            kv[k] = int(v)
+        except ValueError:
+            raise ValueError(f"mesh axis size must be an int: {part!r}") from None
+    return MeshConfig(**{**{"dp": 1}, **kv})
+
+
 def create_mesh(
     config: MeshConfig | None = None,
     devices: list | None = None,

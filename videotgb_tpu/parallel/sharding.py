@@ -153,16 +153,29 @@ def constrain_batch(x: Any) -> Any:
     (B, T, D) residual stream between transformer layers, so constraining
     axis 1 to the sp mesh axis token-shards LayerNorm/MLP/elementwise work
     while GSPMD inserts the all-gather into attention (which needs the full
-    sequence) and the reduce-scatter back out. Decode steps (T=1) and other
-    non-divisible token counts skip the sp part and stay batch-sharded only.
+    sequence) and the reduce-scatter back out. The sp constraint is gated on
+    ndim == 3 exactly — higher-rank activations (e.g. (B, F, H, W, C) frame
+    slabs) have no token axis and sharding axis 1 there would be semantically
+    wrong (correct under GSPMD but with pathological resharding collectives).
+    Decode steps (T=1) and other non-divisible token counts skip the sp part
+    and stay batch-sharded only.
     """
     mesh = active_mesh()
-    if mesh is None or x.shape[0] % (
-            mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]):
+    if mesh is None:
         return x
-    spec = [(DATA_AXIS, FSDP_AXIS)]
+    # a user mesh may carry only a subset of the canonical axes (e.g. a bare
+    # ("dp",) mesh in a multi-process run) — constrain over whichever of
+    # dp/fsdp are present, ignore the rest
+    batch_axes = tuple(a for a in (DATA_AXIS, FSDP_AXIS)
+                       if a in mesh.shape)
+    extent = 1
+    for a in batch_axes:
+        extent *= mesh.shape[a]
+    if not batch_axes or x.shape[0] % extent:
+        return x
+    spec = [batch_axes]
     sp = mesh.shape.get(SEQUENCE_AXIS, 1)
-    if sp > 1 and x.ndim >= 3 and x.shape[1] % sp == 0:
+    if sp > 1 and x.ndim == 3 and x.shape[1] % sp == 0:
         spec.append(SEQUENCE_AXIS)
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*spec)))

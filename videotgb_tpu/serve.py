@@ -105,14 +105,11 @@ class ServingEngine:
         if mesh:
             from jax.sharding import NamedSharding
 
-            from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
+            from videotgb_tpu.parallel.mesh import create_mesh, parse_mesh_spec
 
             self.model, self.params, self.cfg, specs = load_model(
                 args, with_specs=True)
-            kv = dict(p.split("=") for p in mesh.split(",") if p)
-            m = create_mesh(MeshConfig(
-                dp=int(kv.get("dp", 1)), fsdp=int(kv.get("fsdp", 1)),
-                tp=int(kv.get("tp", 1)), sp=int(kv.get("sp", 1))))
+            m = create_mesh(parse_mesh_spec(mesh, allow_pp=False))
             dp_total = m.shape["dp"] * m.shape["fsdp"]
             if batch_size % dp_total:
                 raise ValueError(f"batch_size {batch_size} must be divisible "
@@ -177,17 +174,19 @@ class ServingEngine:
             lm = self.cfg.instructblip.llm
             eos_id, pad_id = lm.eos_token_id, lm.pad_token_id
             mode = "multi_modal"  # Vicuna TGB mode (eval/utils/model.py:92-100)
+            rescale = "ratio"  # Vicuna span rule (eval/utils/model.py:135)
             answer_phase = answer_phase_instructblip
         else:
             eos_id = self.cfg.blip2.t5.eos_token_id
             pad_id = self.cfg.blip2.t5.pad_token_id
             mode = "fusion"
+            rescale = "minus1"
             answer_phase = answer_phase_blip2
         dcfg = DecodeConfig(max_new_tokens=self.max_new_tokens,
                             eos_token_id=eos_id, pad_token_id=pad_id)
         self._select = jax.jit(
             lambda p, flow_u8, bd, k: select_phase_blip2(
-                self.model, p, flow_u8, bd, k, mode=mode))
+                self.model, p, flow_u8, bd, k, mode=mode, rescale=rescale))
         self._answer = jax.jit(
             lambda p, sel, bd, k: answer_phase(
                 self.model, p, sel, bd, dcfg, k))

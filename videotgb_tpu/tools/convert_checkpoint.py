@@ -121,6 +121,11 @@ def build_params(args) -> tuple[dict, object]:
                 np.asarray(sd["language_projection.weight"]).T)
             flat_updates[("model", "language_projection", "bias")] = (
                 np.asarray(sd["language_projection.bias"]))
+        if "temporal_projection.weight" in sd:
+            flat_updates[("model", "temporal_projection", "kernel")] = (
+                np.asarray(sd["temporal_projection.weight"]).T)
+            flat_updates[("model", "temporal_projection", "bias")] = (
+                np.asarray(sd["temporal_projection.bias"]))
         if args.backbone in ("blip2", "instructblip_t5"):
             flat_updates.update(C.with_subtree(
                 C.convert_t5(sd, bb.t5.num_encoder_layers,
@@ -186,6 +191,11 @@ def build_params(args) -> tuple[dict, object]:
                     np.asarray(sub["language_projection.weight"]).T)
                 flat_updates[("model", "language_projection", "bias")] = (
                     np.asarray(sub["language_projection.bias"]))
+            if "temporal_projection.weight" in sub:
+                flat_updates[("model", "temporal_projection", "kernel")] = (
+                    np.asarray(sub["temporal_projection.weight"]).T)
+                flat_updates[("model", "temporal_projection", "bias")] = (
+                    np.asarray(sub["temporal_projection.bias"]))
             if any(k.startswith("language_model.") for k in sub):
                 if args.backbone in ("blip2", "instructblip_t5"):
                     flat_updates.update(C.with_subtree(

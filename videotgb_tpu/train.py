@@ -49,8 +49,12 @@ def build_recipe(cfg: Config):
 
     name = cfg.model.get("recipe", "tg")
     kwargs = {}
-    if name in ("tg", "sf") and cfg.model.get("tgb_mode"):
+    if name in ("tg", "sf", "e2e") and cfg.model.get("tgb_mode"):
         kwargs["mode"] = cfg.model.tgb_mode
+    if name == "e2e" and cfg.model.get("selection"):
+        # "tgb" (LSTP_module.py live Gumbel selection) vs "uniform"
+        # (LSTP_blip2_module.py baseline branch)
+        kwargs["selection"] = cfg.model.selection
     return RECIPES[name](**kwargs)
 
 
@@ -353,9 +357,28 @@ def train(cfg: Config) -> dict[str, float]:
             max_new_tokens=cfg.model.get("pseudo_max_new", 16))
         return db
 
-    state = trainer.fit(state, batches(), eval_fn=eval_fn,
-                        checkpoint_fn=checkpoint_fn,
-                        batch_transform=batch_transform)
+    # debug=profiler overlay (reference configs/debug/profiler.yaml:
+    # trainer.profiler="simple"): device-trace the whole max_steps-bounded
+    # fit; host/python tracers off — a train-step dispatch emits ~500k host
+    # events that blow the trace event budget and drop all device ops
+    import contextlib
+
+    prof_cfg = cfg.get("profiler")
+    if prof_cfg is not None:
+        trace_dir = (prof_cfg.get("trace_dir") if isinstance(prof_cfg, dict)
+                     else None) or os.path.join(out_dir, "trace")
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = 0
+        opts.python_tracer_level = 0
+        prof_ctx = jax.profiler.trace(trace_dir, profiler_options=opts)
+        log.info("profiler on: writing jax trace to %s", trace_dir)
+    else:
+        prof_ctx = contextlib.nullcontext()
+
+    with prof_ctx:
+        state = trainer.fit(state, batches(), eval_fn=eval_fn,
+                            checkpoint_fn=checkpoint_fn,
+                            batch_transform=batch_transform)
     final = eval_fn(state)
     checkpoint_fn(state, final)
     ckpt.wait()

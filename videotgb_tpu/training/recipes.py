@@ -27,6 +27,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from videotgb_tpu.models.videotgb import VideoTGB
 from videotgb_tpu.ops.span import largest_rectangle_span, rescale_index
@@ -170,9 +171,18 @@ class E2ERecipe:
     src/models/LSTP_module.py:205-213 multi_modal TGB call,
     LSTP_blip2_module.py): frames are selected by the current TGB (Gumbel,
     stop-gradient) and only the LM loss backpropagates; RAFT / ViT / LLM are
-    frozen, TGB + Q-Former (+projection) train (LSTP_module.py:669-675)."""
+    frozen, TGB + Q-Former (+projection) train (LSTP_module.py:669-675).
+
+    Selection semantics follow the reference modules exactly.
+    ``selection="tgb"`` is the live Vicuna path (LSTP_module.py:235-246):
+    Gumbel spans scored against ``video_length = num_frames + 2``, the ratio
+    rescale int(i/L*F), exclusive span ends. ``selection="uniform"`` is
+    LSTP_blip2_module.py:253, where the span code is commented out and the
+    shipped BLIP2 e2e recipe uniformly midpoint-samples all num_frames
+    candidates (the "uniform for baseline" branch)."""
 
     mode: str = "multi_modal"
+    selection: str = "tgb"  # "tgb" (LSTP_module) | "uniform" (LSTP_blip2_module)
 
     @property
     def filter_fn(self) -> Callable:
@@ -186,18 +196,34 @@ class E2ERecipe:
     ) -> tuple[jax.Array, dict]:
         variables = params if "params" in params else {"params": params}
         drop_key, sel_key = jax.random.split(key)
-        _, start_logits, end_logits = model.apply(
-            variables, batch["flow"], batch["flow_mask"],
-            batch["sampler_question_ids"], batch["sampler_question_mask"],
-            mode=self.mode, deterministic=deterministic,
-            rngs=None if deterministic else {"dropout": drop_key},
-            method=model.span_logits,
-        )
-        cand = model.apply(
-            variables, jax.lax.stop_gradient(start_logits),
-            jax.lax.stop_gradient(end_logits),
-            batch["video_length"], sel_key, method=model.select_frames,
-        )
+        if self.selection == "uniform":
+            # LSTP_blip2_module.py:185-253 — the TGB/flow path is commented
+            # out in the reference module; frames are a uniform midpoint
+            # subsample of all num_frames candidates
+            b = batch["frames"].shape[0]
+            f, nf = model.config.num_frames, model.config.nframe
+            intv = np.linspace(0, f, nf + 1).astype(int)
+            idx = [(intv[x] + intv[x + 1] - 1) // 2 for x in range(nf)]
+            cand = jnp.broadcast_to(jnp.asarray(idx, jnp.int32), (b, nf))
+            start_logits = end_logits = None
+        else:
+            _, start_logits, end_logits = model.apply(
+                variables, batch["flow"], batch["flow_mask"],
+                batch["sampler_question_ids"], batch["sampler_question_mask"],
+                mode=self.mode, deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": drop_key},
+                method=model.span_logits,
+            )
+            # LSTP_module.py:235-246: video_length = num_frames + 2, ratio
+            # rescale, exclusive span ends
+            vlen = jnp.full_like(batch["video_length"],
+                                 model.config.num_frames + 2)
+            cand = model.apply(
+                variables, jax.lax.stop_gradient(start_logits),
+                jax.lax.stop_gradient(end_logits),
+                vlen, sel_key, inclusive_end=False, rescale="ratio",
+                method=model.select_frames,
+            )
         sel = jnp.take_along_axis(
             batch["frames"], cand[:, :, None, None, None], axis=1)
         lm_loss, _ = _backbone_forward(model, variables, sel, batch)
