@@ -98,6 +98,16 @@ import os
 VENDORED_BERT_VOCAB = os.path.join(
     os.path.dirname(__file__), "assets", "bert_vocab.txt")
 
+# a real (minimal) LLaMA-family tokenizer vendored with the package: the
+# exact serialized pipeline released Vicuna checkpoints carry (metaspace
+# normalizer, BPE with byte fallback, <s> BOS template), vocab 384 to match
+# LlamaConfig.tiny. Built deterministically offline by
+# tools/build_llama_tokenizer.py; loads through the genuine
+# LlamaTokenizerFast (no sentencepiece needed — reference loads the hub
+# Vicuna tokenizer at eval/inference.py:76-89 via InstructBlipProcessor).
+VENDORED_LLAMA_TOKENIZER = os.path.join(
+    os.path.dirname(__file__), "assets", "llama_tokenizer.json")
+
 
 def write_vendored_bert_dir(directory: str) -> str:
     """Materialize an AutoTokenizer-loadable directory from the vendored
@@ -115,10 +125,37 @@ def write_vendored_bert_dir(directory: str) -> str:
     return directory
 
 
+def load_llama_vendored():
+    """The packaged LLaMA/Vicuna-scheme tokenizer through the genuine
+    transformers LlamaTokenizerFast (ids: 0=unk=pad, 1=bos, 2=eos — the
+    LLaMA layout LlamaConfig.tiny mirrors). ``legacy=True`` pins the
+    Vicuna-era metaspace behavior and silences the migration warning."""
+    from transformers import LlamaTokenizerFast
+
+    tok = LlamaTokenizerFast(
+        tokenizer_file=VENDORED_LLAMA_TOKENIZER,
+        unk_token="<unk>", bos_token="<s>", eos_token="</s>",
+        pad_token="<unk>", add_bos_token=True, add_eos_token=False,
+        legacy=True)
+    # the reference keys Vicuna-only behavior (KeywordsStoppingCriteria) off
+    # the tokenizer name (eval/inference.py:91)
+    tok.name_or_path = "llama-vendored-vicuna"
+    return tok
+
+
+def write_vendored_llama_dir(directory: str) -> str:
+    """Materialize an AutoTokenizer-loadable directory from the vendored
+    LLaMA tokenizer (tokenizer.json + tokenizer_config.json) — the on-disk
+    layout a downloaded Vicuna checkpoint dir has."""
+    os.makedirs(directory, exist_ok=True)
+    load_llama_vendored().save_pretrained(directory)
+    return directory
+
+
 def load_tokenizer(name_or_path: str | None, **kwargs):
     """HF AutoTokenizer when resolvable, ByteTokenizer otherwise.
-    ``"bert-vendored"`` loads the packaged minimal WordPiece vocab through
-    the real transformers BertTokenizer."""
+    ``"bert-vendored"`` / ``"llama-vendored"`` load the packaged minimal
+    assets through the real transformers tokenizer classes."""
     if name_or_path in (None, "byte", "byte-tokenizer"):
         return ByteTokenizer(**kwargs)
     if name_or_path == "bert-vendored":
@@ -126,6 +163,8 @@ def load_tokenizer(name_or_path: str | None, **kwargs):
 
         return BertTokenizer(vocab_file=VENDORED_BERT_VOCAB,
                              do_lower_case=True)
+    if name_or_path == "llama-vendored":
+        return load_llama_vendored()
     try:
         from transformers import AutoTokenizer
 
