@@ -25,6 +25,37 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     assert csv_path.exists()
 
 
+def test_logger_group_composition():
+    """configs/logger/ group parity with the reference root composition
+    (reference configs/train.yaml:10 `logger: null` + configs/logger/*):
+    csv by default, `logger=wandb`-style overrides select one, many_loggers
+    fans out."""
+    from videotgb_tpu.config import compose
+    from videotgb_tpu.train import CONFIG_DIR
+
+    assert compose(CONFIG_DIR, "train", []).loggers == ["csv"]
+    assert compose(CONFIG_DIR, "train", ["logger=wandb"]).loggers == ["wandb"]
+    many = compose(CONFIG_DIR, "train", ["logger=many_loggers"]).loggers
+    assert set(many) >= {"csv", "tensorboard", "wandb", "aim", "comet",
+                         "mlflow", "neptune"}
+
+
+def test_train_cli_profiler_overlay(tmp_path, monkeypatch):
+    """debug=profiler (reference configs/debug/profiler.yaml) wraps the fit
+    in a jax.profiler trace: a parseable .trace.json.gz appears under
+    outputs/trace."""
+    import glob
+
+    monkeypatch.chdir(tmp_path)
+    from videotgb_tpu.train import main as train_main
+
+    train_main(["experiment=smoke_tg_synthetic", "debug=profiler",
+                f"paths.root_dir={tmp_path}/run"])
+    traces = glob.glob(str(tmp_path / "run" / "outputs" / "trace" / "**" /
+                           "*.trace.json.gz"), recursive=True)
+    assert traces, "no trace file produced by debug=profiler"
+
+
 def test_train_then_eval_cli_sf_generative(tmp_path, monkeypatch):
     """The eval entry must generate + BLEU-score for generative recipes
     (reference trainer.test -> eval_forward, src/eval.py:69 ->

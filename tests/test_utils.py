@@ -30,6 +30,19 @@ def test_build_writers_skips_unavailable(tmp_path):
     multi.finish()
 
 
+def test_build_writers_accepts_all_reference_logger_names(tmp_path):
+    """Every logger the reference's configs/logger/ group names is accepted
+    and degrades to a warning when its lib is absent (aim/comet/mlflow/
+    neptune are not in this image) — never a crash."""
+    names = ["csv", "tensorboard", "wandb", "aim", "comet", "mlflow",
+             "neptune"]
+    multi = build_writers(names, str(tmp_path))
+    assert len(multi.writers) >= 2  # csv + tensorboard always available
+    multi.log_hyperparams({"lr": 1e-4})
+    multi.log_metrics({"loss": 0.5}, 1)
+    multi.finish()
+
+
 def test_timed_returns_median_and_output():
     f = jax.jit(lambda x: x * 2)
     t, out = timed(f, jnp.ones((8, 8)), iters=3)

@@ -91,6 +91,88 @@ class WandbWriter:
         self._run.finish()
 
 
+class AimWriter:
+    """Aim run tracker (reference configs/logger/aim.yaml). Import-guarded:
+    build_writers degrades to a warning when the lib is absent."""
+
+    def __init__(self, repo: str | None = None, experiment: str = "LSTP-Chat"):
+        import aim
+
+        self._run = aim.Run(repo=repo, experiment=experiment)
+
+    def log_hyperparams(self, params: Mapping[str, Any]) -> None:
+        self._run["hparams"] = json.loads(json.dumps(dict(params), default=str))
+
+    def log_metrics(self, metrics: Mapping[str, float], step: int) -> None:
+        for key, value in metrics.items():
+            self._run.track(float(value), name=key, step=step)
+
+    def finish(self) -> None:
+        self._run.close()
+
+
+class CometWriter:
+    """Comet-ML experiment (reference configs/logger/comet.yaml)."""
+
+    def __init__(self, project_name: str = "LSTP-Chat", **kwargs):
+        import comet_ml
+
+        self._exp = comet_ml.Experiment(project_name=project_name, **kwargs)
+
+    def log_hyperparams(self, params: Mapping[str, Any]) -> None:
+        self._exp.log_parameters(dict(params))
+
+    def log_metrics(self, metrics: Mapping[str, float], step: int) -> None:
+        self._exp.log_metrics(dict(metrics), step=step)
+
+    def finish(self) -> None:
+        self._exp.end()
+
+
+class MLFlowWriter:
+    """MLflow run (reference configs/logger/mlflow.yaml)."""
+
+    def __init__(self, experiment_name: str = "LSTP-Chat",
+                 tracking_uri: str | None = None):
+        import mlflow
+
+        self._mlflow = mlflow
+        if tracking_uri:
+            mlflow.set_tracking_uri(tracking_uri)
+        mlflow.set_experiment(experiment_name)
+        self._run = mlflow.start_run()
+
+    def log_hyperparams(self, params: Mapping[str, Any]) -> None:
+        # mlflow rejects non-scalar params; stringify like its own autolog
+        self._mlflow.log_params({k: str(v)[:500] for k, v in params.items()})
+
+    def log_metrics(self, metrics: Mapping[str, float], step: int) -> None:
+        self._mlflow.log_metrics(
+            {k: float(v) for k, v in metrics.items()}, step=step)
+
+    def finish(self) -> None:
+        self._mlflow.end_run()
+
+
+class NeptuneWriter:
+    """Neptune run (reference configs/logger/neptune.yaml)."""
+
+    def __init__(self, project: str | None = None, **kwargs):
+        import neptune
+
+        self._run = neptune.init_run(project=project, **kwargs)
+
+    def log_hyperparams(self, params: Mapping[str, Any]) -> None:
+        self._run["hparams"] = json.dumps(dict(params), default=str)
+
+    def log_metrics(self, metrics: Mapping[str, float], step: int) -> None:
+        for key, value in metrics.items():
+            self._run[key].append(float(value), step=step)
+
+    def finish(self) -> None:
+        self._run.stop()
+
+
 class MultiWriter:
     def __init__(self, writers: list):
         self.writers = writers
@@ -118,6 +200,14 @@ def build_writers(names: list[str], output_dir: str, **kwargs) -> MultiWriter:
                 writers.append(TensorBoardWriter(os.path.join(output_dir, "tb")))
             elif name == "wandb":
                 writers.append(WandbWriter(**kwargs))
+            elif name == "aim":
+                writers.append(AimWriter(**kwargs))
+            elif name == "comet":
+                writers.append(CometWriter(**kwargs))
+            elif name == "mlflow":
+                writers.append(MLFlowWriter(**kwargs))
+            elif name == "neptune":
+                writers.append(NeptuneWriter(**kwargs))
             else:
                 log.warning("unknown writer %s skipped", name)
         except Exception as e:
