@@ -451,3 +451,218 @@ def test_lstp_vicuna_generate_parity_with_reference(refmod, monkeypatch,
     got = mine_fixed[0].tolist()
     assert got[:n] == hf_new, (got, hf_new)
     assert all(t == 2 for t in got[n:])
+
+
+# -------------------------------------------------- SF module eval_forward
+@pytest.fixture(scope="module")
+def sf_module_cls():
+    """Import the reference's LSTP_SF_blip2_module with lightning /
+    torchmetrics stubbed (absent from this image; eval_forward itself is
+    pure torch+transformers — the stubs only supply the base class and
+    metric holders the constructor instantiates)."""
+    import types
+
+    import torch.nn as nn
+
+    _shim_transformers()
+
+    class _Metric:
+        def __init__(self, *a, **k):
+            pass
+
+    class _StubModule(types.ModuleType):
+        # any symbol the reference pulls from torchmetrics resolves to the
+        # inert metric holder
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return _Metric
+
+    def _mod(name, **attrs):
+        m = _StubModule(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+        return sys.modules[name]
+
+    if "lightning" not in sys.modules:
+        class LightningModule(nn.Module):
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+        _mod("lightning", LightningModule=LightningModule)
+    tm = _mod("torchmetrics", MaxMetric=_Metric, MeanMetric=_Metric)
+    cl = _mod("torchmetrics.classification", accuracy=None)
+    acc = _mod("torchmetrics.classification.accuracy", Accuracy=_Metric)
+    cl.accuracy = acc
+    tm.classification = cl
+    txt = _mod("torchmetrics.text",
+               bleu=_mod("torchmetrics.text.bleu", BLEUScore=_Metric),
+               bert=_mod("torchmetrics.text.bert", BERTScore=_Metric),
+               rouge=_mod("torchmetrics.text.rouge", ROUGEScore=_Metric),
+               perplexity=_mod("torchmetrics.text.perplexity",
+                               Perplexity=_Metric))
+    tm.text = txt
+
+    sys.path.insert(0, REF)
+    try:
+        import src.models.LSTP_SF_blip2_module as m
+        import src.models.components.xblip2 as xb
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference SF module import failed: {e}")
+    finally:
+        sys.path.remove(REF)
+    xb.Blip2PreTrainedModel._keep_in_fp32_modules = None
+    return m
+
+
+def test_sf_module_eval_forward_parity_with_reference(sf_module_cls,
+                                                      monkeypatch, tmp_path):
+    """The reference TRAINING module's eval pipeline
+    (LSTP_SF_blip2_module.eval_forward, :382-508) vs our generate_blip2 with
+    the module packing: token-identical greedy output. This pins the glue
+    that differs from the standalone wrapper: precomputed flow in the batch,
+    per-sample of_lengths, and NO mean-pool — the visual prefix is the full
+    nframe*32 Q-Former tokens (:478-486)."""
+    from transformers import Blip2Config as HFBlip2Config
+    from transformers import T5Config as HFT5Config
+
+    from videotgb_tpu.models.blip2 import Blip2Config
+    from videotgb_tpu.models.raft import RAFTConfig
+    from videotgb_tpu.models.t5 import T5Config
+    from videotgb_tpu.models.tgb import TGBConfig
+    from videotgb_tpu.models.videotgb import (VideoTGB, VideoTGBConfig,
+                                              generate_blip2)
+    from videotgb_tpu.ops.decode import DecodeConfig
+
+    refmod = sf_module_cls
+    _det_gumbel_torch(monkeypatch)
+    _det_gumbel_jax(monkeypatch)
+    monkeypatch.setattr(refmod, "BertConfig", _tiny_bert_config)
+
+    class _Proc:
+        @staticmethod
+        def from_pretrained(*a, **k):
+            return None
+
+    monkeypatch.setattr(refmod, "AutoProcessor", _Proc)
+
+    # ---- released-checkpoint-style dirs the module constructor loads
+    text = HFT5Config(
+        vocab_size=384, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=False, dropout_rate=0.0,
+        decoder_start_token_id=0,
+    )
+    text.architectures = ["T5ForConditionalGeneration"]
+    hf_cfg = HFBlip2Config(
+        vision_config=_tiny_hf_vision().to_dict(),
+        qformer_config=dict(
+            vocab_size=384, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64, hidden_act="gelu",
+            encoder_hidden_size=64, cross_attention_frequency=2,
+            attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        ),
+        text_config=text.to_dict(),
+        num_query_tokens=32,
+    )
+    torch.manual_seed(31)
+    blip2 = refmod.Blip2ForConditionalGeneration(config=hf_cfg)
+    blip2.save_pretrained(tmp_path / "blip2", safe_serialization=False)
+
+    sampler_cfg = _tiny_bert_config()
+    torch.manual_seed(33)
+    sampler = refmod.RopeBertModel(config=sampler_cfg)
+    with torch.no_grad():
+        sampler.temporal_embeddings.bos.normal_(0, 0.02)
+        sampler.temporal_embeddings.eos.normal_(0, 0.02)
+    sampler.save_pretrained(tmp_path / "sampler", safe_serialization=False)
+
+    sys.path.insert(0, REF)
+    try:
+        from src.models.components.xraft import RAFT as RefRAFT
+    finally:
+        sys.path.remove(REF)
+    # the released raft-things.pth is a torch.DataParallel checkpoint — the
+    # module strips the "module." prefix via dp_state_to_normal (and drops
+    # any key without it), so save in that format
+    torch.save({"module." + k: v for k, v in RefRAFT().state_dict().items()},
+               tmp_path / "raft.pth")
+
+    max_new = 6
+    ref = refmod.LSTPSFModule(
+        model_name_or_path=str(tmp_path / "blip2"),
+        sampler_name_or_path=str(tmp_path / "sampler"),
+        of_extractor_name_or_path=str(tmp_path / "raft.pth"),
+        temperature=0.1, optimizer=None, scheduler="cosine",
+        scheduler_params={},
+        generate_configs={"do_sample": False, "max_new_tokens": max_new},
+    ).eval()
+
+    # ---- shared batch: B=2 with DIFFERENT of_lengths (per-sample selection)
+    rng = np.random.default_rng(41)
+    b, num_frames, l_flow, img = 2, 8, 3, 56
+    nf = 4
+    frames = rng.standard_normal((b, num_frames, img, img, 3)).astype(np.float32)
+    flow = rng.standard_normal((b, l_flow, 2, 224, 224)).astype(np.float32)
+    of_mask = np.ones((b, l_flow + 2), np.int64)
+    of_lengths = np.array([3, 2], np.int64)
+    s_ids = rng.integers(2, 380, (b, 5))
+    q_ids = rng.integers(2, 380, (b, 6))
+
+    ref_batch = {
+        "answer": torch.zeros((b, 4), dtype=torch.long),
+        "nframe": nf,
+        "frames": torch.from_numpy(
+            frames.reshape(b * num_frames, img, img, 3)
+            .transpose(0, 3, 1, 2)).contiguous(),
+        "of": torch.from_numpy(flow),
+        "of_mask": torch.from_numpy(of_mask),
+        "of_lengths": torch.from_numpy(of_lengths),
+        "sampler_question": torch.from_numpy(s_ids),
+        "sampler_question_attention_mask": torch.ones((b, 5), dtype=torch.long),
+        "question": torch.from_numpy(q_ids),
+        "question_attention_mask": torch.ones((b, 6), dtype=torch.long),
+    }
+    with torch.no_grad():
+        hf_out = ref.eval_forward(ref_batch)
+
+    # ---- our side: same weights through the converter, module packing
+    vit, qf = _tiny_my_backbone_parts()
+    cfg = VideoTGBConfig(
+        backbone="blip2",
+        blip2=Blip2Config(
+            vit=vit, qformer=qf,
+            t5=dataclasses.replace(T5Config.tiny(), **F32)),
+        tgb=dataclasses.replace(TGBConfig.tiny(), flow_size=224, **F32),
+        raft=RAFTConfig(iters=20),
+        nframe=nf, num_frames=num_frames, top_k=2,
+    )
+    model = VideoTGB(cfg)
+    key = jax.random.key(0)
+    batch = {
+        "frames": jnp.asarray(frames),
+        "flow": jnp.asarray(flow.transpose(0, 1, 3, 4, 2)),
+        "flow_mask": jnp.asarray(of_mask),
+        "video_length": jnp.asarray(of_lengths),
+        "sampler_question_ids": jnp.asarray(s_ids),
+        "sampler_question_mask": jnp.ones(s_ids.shape),
+        "question_ids": jnp.asarray(q_ids),
+        "question_mask": jnp.ones(q_ids.shape),
+    }
+    params = _init_my_params(model, batch, key)
+    params = _convert_wrapper(ref, model, params, "blip2")
+
+    dcfg = DecodeConfig(max_new_tokens=max_new, eos_token_id=1, pad_token_id=0)
+    mine, _ = generate_blip2(model, params, batch, dcfg, key,
+                             mean_pool=False)
+
+    for i in range(b):
+        # HF seq2seq rows: [decoder_start, t1, ..., (eos)]; HF pads the
+        # whole batch to the longest row with pad (=0)
+        hf_row = [t for t in hf_out[i].tolist()[1:]]
+        mine_row = np.asarray(mine)[i].tolist()
+        # trim HF batch padding after its EOS (1)
+        if 1 in hf_row:
+            hf_row = hf_row[:hf_row.index(1) + 1]
+        _assert_tokens_match(hf_row, mine_row, pad_id=0)

@@ -270,18 +270,23 @@ class VideoTGB(nn.Module):
         key: jax.Array,
         qformer_input_ids: jax.Array | None = None,
         qformer_attention_mask: jax.Array | None = None,
+        mean_pool: bool = True,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """Full BLIP2 inference prefix: TGB -> select -> ViT/Q-Former (mean
-        pooled) -> T5 encoder. Returns (enc_hidden, enc_mask, cand_index).
+        """Full BLIP2 inference prefix: TGB -> select -> ViT/Q-Former -> T5
+        encoder. Returns (enc_hidden, enc_mask, cand_index).
         ``qformer_input_ids`` serve the instruction-aware InstructBLIP-Flan-T5
-        variant (cfg.blip2.qformer_instruction)."""
+        variant (cfg.blip2.qformer_instruction). ``mean_pool=True`` is the
+        standalone-wrapper packing (32 pooled tokens,
+        eval/utils/model.py:393-398); ``False`` is the training modules'
+        eval_forward packing (nframe*32 full tokens,
+        LSTP_SF_blip2_module.py:478-486)."""
         _, start_logits, end_logits = self.span_logits(
             flow, flow_mask, sampler_question_ids, sampler_question_mask, "fusion"
         )
         cand = self.select_frames(start_logits, end_logits, video_length, key,
                                   inclusive_end=False)
         visual = self.encode_selected(
-            frames, cand, mean_pool=True,
+            frames, cand, mean_pool=mean_pool,
             qformer_input_ids=qformer_input_ids,
             qformer_attention_mask=qformer_attention_mask)
         embeds, mask = self.model.encoder_inputs(visual, question_ids, question_mask)
@@ -429,9 +434,12 @@ def generate_blip2(
     decode_config: DecodeConfig,
     key: jax.Array,
     stop_sequences: tuple[tuple[int, ...], ...] = (),
+    mean_pool: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched BLIP2-Flan-T5 QA generation (the BASELINE inference path,
     eval/utils/model.py:266-441). Returns (token_ids (B, T), cand_index).
+    ``mean_pool=False`` reproduces the training modules' eval_forward visual
+    packing instead (nframe*32 tokens, LSTP_SF_blip2_module.py:478-486).
 
     lax.while_loop traces the step once, so the cross-K/V prefill (which
     must happen exactly once) runs as one explicit step for token 0; the
@@ -448,6 +456,7 @@ def generate_blip2(
                            if cfg.instruction_aware else None),
         qformer_attention_mask=(batch.get("qformer_attention_mask")
                                 if cfg.instruction_aware else None),
+        mean_pool=mean_pool,
         method=model.prepare_t5_inference,
     )
     out = t5_generate_from_encoder(model, params, enc_hidden, enc_mask,
