@@ -97,25 +97,9 @@ def _bf16_params(cfg):
     """Store params in bf16 for inference benching: flagship fp32 weights
     (~16.5 GB) exceed v5e HBM; bf16 halves residency with matching compute
     dtype (the reference serves bf16 too, configs/experiment/*:24)."""
-    import dataclasses
+    from videotgb_tpu.models.videotgb import bf16_param_config
 
-    import jax.numpy as jnp
-
-    def rep(sub):
-        return dataclasses.replace(sub, param_dtype=jnp.bfloat16)
-
-    blip2 = cfg.blip2
-    if blip2 is not None:
-        blip2 = dataclasses.replace(
-            blip2, vit=rep(blip2.vit), qformer=rep(blip2.qformer),
-            t5=rep(blip2.t5))
-    iblip = cfg.instructblip
-    if iblip is not None:
-        iblip = dataclasses.replace(
-            iblip, vit=rep(iblip.vit), qformer=rep(iblip.qformer),
-            llm=rep(iblip.llm))
-    return dataclasses.replace(
-        cfg, blip2=blip2, instructblip=iblip, tgb=rep(cfg.tgb))
+    return bf16_param_config(cfg)
 
 
 def _scan_layers(cfg, towers=("vit", "lm")):

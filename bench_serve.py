@@ -11,6 +11,11 @@ Run:  python bench_serve.py
 Env:  SERVE_PRESET=flagship|small|tiny  SERVE_BATCHES=1,8,64
       SERVE_RATE=8 (req/s)  SERVE_REQUESTS=64  SERVE_MAX_NEW=16
       SERVE_DELAY_MS=30  SERVE_FLOW_FRAMES=4
+      SERVE_MESH="dp=8"  (mesh-sharded engine; batch must divide dp*fsdp)
+      SERVE_CPU=8        (force a virtual 8-device CPU platform — the
+                          queueing/batching behavioral rig for multi-chip
+                          layouts this host can't provide; latencies are
+                          then CPU-compute-bound, NOT chip numbers)
 
 Prints one JSON line:
   {"metric": "serve_p50_request_latency_ms", "value": ..., "unit": "ms",
@@ -27,12 +32,14 @@ import numpy as np
 
 
 def bench_one(batch_size: int, preset: str, rate: float, n_requests: int,
-              max_new: int, flow_frames: int, delay_ms: float) -> dict:
+              max_new: int, flow_frames: int, delay_ms: float,
+              mesh: str | None = None) -> dict:
     from videotgb_tpu.serve import ServingEngine
 
     eng = ServingEngine(f"random:{preset}", preset=preset,
                         batch_size=batch_size, flow_frames=flow_frames,
-                        max_new_tokens=max_new, max_delay_ms=delay_ms)
+                        max_new_tokens=max_new, max_delay_ms=delay_ms,
+                        mesh=mesh)
     try:
         rng = np.random.default_rng(0)
         image = (eng.cfg.blip2.vit.image_size if eng.cfg.blip2 is not None
@@ -71,9 +78,17 @@ def bench_one(batch_size: int, preset: str, rate: float, n_requests: int,
 
 
 def main() -> None:
-    from bench import wait_for_compiler
+    cpu_devices = int(os.environ.get("SERVE_CPU", "0"))
+    if cpu_devices:
+        import jax
 
-    wait_for_compiler(float(os.environ.get("BENCH_COMPILE_WAIT_S", "900")))
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", cpu_devices)
+    else:
+        from bench import wait_for_compiler
+
+        wait_for_compiler(float(os.environ.get("BENCH_COMPILE_WAIT_S", "900")))
+    mesh = os.environ.get("SERVE_MESH") or None
     preset = os.environ.get("SERVE_PRESET", "flagship")
     batches = [int(x) for x in
                os.environ.get("SERVE_BATCHES", "1,8").split(",")]
@@ -86,7 +101,8 @@ def main() -> None:
     per_batch = {}
     for bsz in batches:
         per_batch[str(bsz)] = bench_one(bsz, preset, rate, n_requests,
-                                        max_new, flow_frames, delay_ms)
+                                        max_new, flow_frames, delay_ms,
+                                        mesh=mesh)
     best_p50 = min(v["p50"] for v in per_batch.values())
     print(json.dumps({
         "metric": "serve_p50_request_latency_ms",

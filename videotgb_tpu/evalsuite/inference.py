@@ -210,6 +210,15 @@ def load_model(args, with_specs: bool = False):
     if getattr(args, "flow_size", None):
         cfg = dataclasses.replace(
             cfg, tgb=dataclasses.replace(cfg.tgb, flow_size=args.flow_size))
+    if (args.model_path.startswith("random:")
+            and getattr(args, "bf16_params", False)):
+        # create the big towers' params bf16 at init: the flagship's f32
+        # tree (16.3 GB) barely fits v5e HBM and init-then-cast peaks above
+        # it (observed ResourceExhausted 2026-08-19); checkpoint loads keep
+        # the f32 init as the restore template and cast leaf-wise after
+        from videotgb_tpu.models.videotgb import bf16_param_config
+
+        cfg = bf16_param_config(cfg)
     if args.lora:
         if cfg.backbone == "blip2":
             t5 = dataclasses.replace(cfg.blip2.t5, lora_rank=8)

@@ -130,6 +130,31 @@ class VideoTGBConfig:
         )
 
 
+def bf16_param_config(cfg: VideoTGBConfig) -> VideoTGBConfig:
+    """param_dtype=bf16 for the big towers (ViT/Q-Former/LM/TGB): params are
+    CREATED bf16 at init — the flagship's f32 tree (16.3 GB) barely fits
+    v5e HBM and an init-then-cast peaks above it. RAFT stays f32 (5.3M
+    params; its instance norms are f32-sensitive). The reference serves bf16
+    too (configs/experiment/*:24 precision: bf16)."""
+    import dataclasses
+
+    def rep(sub):
+        return dataclasses.replace(sub, param_dtype=jnp.bfloat16)
+
+    blip2 = cfg.blip2
+    if blip2 is not None:
+        blip2 = dataclasses.replace(
+            blip2, vit=rep(blip2.vit), qformer=rep(blip2.qformer),
+            t5=rep(blip2.t5))
+    iblip = cfg.instructblip
+    if iblip is not None:
+        iblip = dataclasses.replace(
+            iblip, vit=rep(iblip.vit), qformer=rep(iblip.qformer),
+            llm=rep(iblip.llm))
+    return dataclasses.replace(
+        cfg, blip2=blip2, instructblip=iblip, tgb=rep(cfg.tgb))
+
+
 class VideoTGB(nn.Module):
     config: VideoTGBConfig
 
