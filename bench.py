@@ -225,18 +225,28 @@ def main() -> None:
     flow_size = cfg.tgb.flow_size
     num_frames = cfg.num_frames
 
-    # ---- host: synthetic clip + decode (timed as part of end-to-end)
-    video_path = "/tmp/bench_clip.mp4"
+    # ---- host: synthetic clip + decode (timed as part of end-to-end).
+    # size-stamped path: presets share /tmp, and a stale smaller-size clip
+    # would silently understate decode cost (a 56x56 tiny-run leftover was
+    # observed where the flagship expected 224x224)
+    video_path = f"/tmp/bench_clip_{image}.mp4"
     if not os.path.exists(video_path):
         make_synthetic_video(video_path, size=image)
 
+    # decode_ms_per_clip times the PIPELINE's host decode stage (uint8 out;
+    # normalization runs on device) — the f32 clip_transform variant below
+    # only feeds the device-only timing inputs and is reported separately
     dec_times = []
     for _ in range(3):
         t_dec0 = time.perf_counter()
-        frames_np, flow_np = decode_clip(video_path, num_frames,
-                                         flow_frames + 1, image, flow_size)
+        decode_clip_uint8(video_path, num_frames, flow_frames + 1, image,
+                          flow_size)
         dec_times.append(time.perf_counter() - t_dec0)
     decode_s = statistics.median(dec_times)
+    t_dec0 = time.perf_counter()
+    frames_np, flow_np = decode_clip(video_path, num_frames,
+                                     flow_frames + 1, image, flow_size)
+    decode_f32_s = time.perf_counter() - t_dec0
 
     frames = jnp.asarray(np.broadcast_to(
         frames_np[None], (batch, *frames_np.shape)).copy())
@@ -437,6 +447,7 @@ def main() -> None:
         "device_batch_ms": round(device_s * 1000, 1),
         "pipeline_batch_ms": round(pipeline_s * 1000, 1),
         "decode_ms_per_clip": round(decode_s * 1000, 1),
+        "decode_f32_ms_per_clip": round(decode_f32_s * 1000, 1),
         "compile_s": round(compile_s, 1),
         "init_s": round(init_s, 1),
         "preset": preset,
