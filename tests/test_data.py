@@ -60,6 +60,43 @@ def test_clip_transform_roundtrip(rng):
     assert np.abs(back.astype(int) - frames.astype(int)).max() <= 1
 
 
+# ----------------------------------------------------------------- video io
+def test_read_video_cv2_rgb_order_and_resize(tmp_path):
+    """_postprocess contract: exact RGB (flip of cv2's BGR), contiguous
+    uint8, same-size resize skipped, resize == resize-of-the-flipped-frame
+    (channel-independent bilinear, so cvtColor-then-resize is exact)."""
+    import cv2
+
+    from videotgb_tpu.data.video_io import read_video_cv2
+
+    path = str(tmp_path / "clip.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (48, 32))
+    rng = np.random.default_rng(0)
+    for t in range(12):
+        writer.write(rng.integers(0, 255, (32, 48, 3), np.uint8))
+    writer.release()
+
+    cap = cv2.VideoCapture(path)
+    ok, first_bgr = cap.read()
+    cap.release()
+    assert ok
+
+    frames, fps = read_video_cv2(path, num_frames=4)
+    assert frames.dtype == np.uint8 and frames.flags["C_CONTIGUOUS"]
+    assert frames.shape == (4, 32, 48, 3) and fps == 10.0
+    np.testing.assert_array_equal(frames[0], first_bgr[..., ::-1])
+
+    same, _ = read_video_cv2(path, num_frames=4, size=(32, 48))
+    np.testing.assert_array_equal(same, frames)
+
+    small, _ = read_video_cv2(path, num_frames=4, size=(16, 24))
+    ref = cv2.resize(np.ascontiguousarray(first_bgr[..., ::-1]), (24, 16),
+                     interpolation=cv2.INTER_LINEAR)
+    assert small.shape == (4, 16, 24, 3)
+    np.testing.assert_array_equal(small[0], ref)
+
+
 # ---------------------------------------------------------------- tokenizer
 def test_byte_tokenizer_roundtrip_and_padding():
     tok = ByteTokenizer()
