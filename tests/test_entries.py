@@ -40,6 +40,106 @@ def test_logger_group_composition():
                          "mlflow", "neptune"}
 
 
+def test_callbacks_group_composition_and_mapping():
+    """configs/callbacks/ group parity with the reference root composition
+    (reference configs/train.yaml:9 `callbacks: default` +
+    configs/callbacks/*.yaml) and its mapping onto the TPU trainer via
+    train.apply_callbacks."""
+    from videotgb_tpu.config import compose
+    from videotgb_tpu.train import CONFIG_DIR, apply_callbacks
+    from videotgb_tpu.training.trainer import TrainerConfig
+
+    # root defaults compose callbacks/default.yaml like the reference root
+    cfg = compose(CONFIG_DIR, "train", [])
+    assert cfg.callbacks.model_checkpoint.save_top_k == 1
+    assert cfg.callbacks.early_stopping.patience == 100
+    assert cfg.callbacks.model_checkpoint.dirpath == cfg.paths.ckpt_dir
+
+    tcfg = TrainerConfig()
+    mc = apply_callbacks(cfg, tcfg)
+    assert tcfg.early_stop_patience == 100
+    assert mc["save_top_k"] == 1 and "every_n_train_steps" not in mc
+
+    # monitor precedence: trainer.monitor (set by every trainer group file)
+    # wins; the callbacks monitor applies when the trainer key is absent
+    from videotgb_tpu.config import Config as _Cfg
+
+    tcfg = TrainerConfig(monitor="val/iou_score")
+    apply_callbacks(_Cfg({"callbacks": {"early_stopping":
+                                        {"monitor": "val/score"}},
+                          "trainer": {"monitor": "val/iou_score"}}), tcfg)
+    assert tcfg.monitor == "val/iou_score"
+    tcfg = TrainerConfig()
+    apply_callbacks(_Cfg({"callbacks": {"early_stopping":
+                                        {"monitor": "val/other",
+                                         "mode": "min"}}}), tcfg)
+    assert tcfg.monitor == "val/other" and tcfg.monitor_mode == "min"
+
+    # experiment overlays carry the reference's callbacks overrides
+    # (reference configs/experiment/LSTP_TG_...yaml:21-25 monitors,
+    #  ...vicuna7b_videoinstruct.yaml:21-23 every_n_train_steps,
+    #  ...ivinstruct.yaml save_top_k); they agree with trainer.monitor
+    cfg_tg = compose(CONFIG_DIR, "train",
+                     ["experiment=LSTP_TG_blip2flant5xl_videoinstruct"])
+    assert cfg_tg.callbacks.model_checkpoint.monitor == "val/iou_score"
+    assert cfg_tg.callbacks.early_stopping.monitor == "val/iou_score"
+    assert cfg_tg.trainer.monitor == "val/iou_score"
+
+    tcfg = TrainerConfig()
+    apply_callbacks(
+        compose(CONFIG_DIR, "train",
+                ["experiment=LSTP_SF_instructblipvicuna7b_videoinstruct"]),
+        tcfg)
+    assert tcfg.checkpoint_every == 2000
+
+    cfg_iv = compose(CONFIG_DIR, "train",
+                     ["experiment=LSTP_instructblipvicuna7b_ivinstruct"])
+    assert apply_callbacks(cfg_iv, TrainerConfig())["save_top_k"] == 2
+
+    # callbacks=none -> empty group; legacy trainer.monitor stays in charge
+    cfg_none = compose(CONFIG_DIR, "train", ["callbacks=none"])
+    tcfg = TrainerConfig(monitor="val/iou_score")
+    assert apply_callbacks(cfg_none, tcfg) == {}
+    assert tcfg.monitor == "val/iou_score"
+    assert tcfg.early_stop_patience is None
+
+    # the standalone early_stopping.yaml requires an explicit monitor,
+    # like the reference's `monitor: ???` hydra MISSING
+    import pytest as _pytest
+
+    cfg_es = compose(CONFIG_DIR, "train", ["callbacks=early_stopping"])
+    with _pytest.raises(ValueError, match="monitor"):
+        apply_callbacks(cfg_es, TrainerConfig())
+
+
+def test_extras_group():
+    """configs/extras/ parity (reference configs/extras/default.yaml +
+    src/utils/utils.py extras()): ignore_warnings installs a filter,
+    enforce_tags rejects tag-less runs, print_config defaults on."""
+    import warnings
+
+    import pytest as _pytest
+
+    from videotgb_tpu.config import Config, compose
+    from videotgb_tpu.train import CONFIG_DIR
+    from videotgb_tpu.utils.task import apply_extras
+
+    cfg = compose(CONFIG_DIR, "train", [])
+    assert cfg.extras.ignore_warnings is True
+    assert cfg.extras.print_config is True
+    assert cfg.extras.enforce_tags is False
+
+    with warnings.catch_warnings():
+        apply_extras(Config({"extras": {"ignore_warnings": True,
+                                        "print_config": False}}))
+        assert warnings.filters[0][0] == "ignore"
+
+    with _pytest.raises(ValueError, match="tags"):
+        apply_extras(Config({"extras": {"enforce_tags": True,
+                                        "print_config": False},
+                             "tags": []}))
+
+
 def test_train_cli_profiler_overlay(tmp_path, monkeypatch):
     """debug=profiler (reference configs/debug/profiler.yaml) wraps the fit
     in a jax.profiler trace: a parseable .trace.json.gz appears under

@@ -15,7 +15,7 @@ import jax
 from flax import linen as nn
 
 from videotgb_tpu.config import Config, compose
-from videotgb_tpu.utils.logging import get_logger, print_config_tree
+from videotgb_tpu.utils.logging import get_logger
 
 log = get_logger("videotgb.eval")
 
@@ -84,7 +84,9 @@ def evaluate(cfg: Config) -> dict[str, float]:
 def main(argv: list[str] | None = None) -> dict[str, float]:
     argv = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "eval", argv)
-    print_config_tree(cfg)
+    from videotgb_tpu.utils.task import apply_extras
+
+    apply_extras(cfg)
     return evaluate(cfg)
 
 

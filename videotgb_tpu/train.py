@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from videotgb_tpu.config import Config, compose
-from videotgb_tpu.utils.logging import get_logger, print_config_tree
+from videotgb_tpu.utils.logging import get_logger
 
 log = get_logger("videotgb.train")
 
@@ -56,6 +56,40 @@ def build_recipe(cfg: Config):
         # (LSTP_blip2_module.py baseline branch)
         kwargs["selection"] = cfg.model.selection
     return RECIPES[name](**kwargs)
+
+
+def apply_callbacks(cfg: Config, tcfg) -> dict:
+    """Map the ``callbacks`` config group (reference
+    configs/callbacks/{default,model_checkpoint,early_stopping}.yaml) onto the
+    trainer: early_stopping -> TrainerConfig monitor/mode/patience,
+    model_checkpoint.every_n_train_steps -> checkpoint_every. Returns the
+    None-stripped model_checkpoint knobs for CheckpointConfig.
+
+    Monitor precedence: an explicit ``trainer.monitor`` key (every
+    configs/trainer/*.yaml sets one; experiment overlays override it) wins
+    over the callbacks group's monitor — the two sources agree in every
+    shipped config (the overlays mirror the reference's callbacks sections
+    AND set trainer.monitor), so this only matters for hand-rolled configs
+    where the trainer key is the established knob."""
+    cbs = cfg.get("callbacks") or Config()
+    mc = {k: v for k, v in (cbs.get("model_checkpoint") or {}).items()
+          if v is not None}
+    es = {k: v for k, v in (cbs.get("early_stopping") or {}).items()
+          if v is not None}
+    monitor = es.get("monitor", mc.get("monitor"))
+    if monitor == "???":
+        raise ValueError("callbacks.early_stopping.monitor must be set "
+                         "(reference configs/callbacks/early_stopping.yaml)")
+    trainer_has_monitor = "monitor" in (cfg.get("trainer") or {})
+    if monitor and not trainer_has_monitor:
+        tcfg.monitor = monitor
+        tcfg.monitor_mode = es.get("mode", mc.get("mode", tcfg.monitor_mode))
+    if es:
+        tcfg.early_stop_patience = es.get("patience",
+                                          tcfg.early_stop_patience)
+    if mc.get("every_n_train_steps"):
+        tcfg.checkpoint_every = mc["every_n_train_steps"]
+    return mc
 
 
 def build_data(cfg: Config, mcfg):
@@ -258,6 +292,7 @@ def train(cfg: Config) -> dict[str, float]:
                         tp=tcfg_raw.get("tp", 1), pp=tcfg_raw.get("pp", 1),
                         sp=tcfg_raw.get("sp", 1)),
     )
+    ckpt_overrides = apply_callbacks(cfg, tcfg)
 
     def loss_fn(params, batch, key):
         return recipe.loss_fn(model, params, batch, key)
@@ -289,9 +324,15 @@ def train(cfg: Config) -> dict[str, float]:
     params = nn.meta.unbox(variables)["params"]
     state = trainer.init_state(params, param_specs=param_specs)
 
-    ckpt_dir = cfg.get("paths", Config()).get("ckpt_dir", "outputs/checkpoints")
-    ckpt = CheckpointManager(CheckpointConfig(directory=ckpt_dir,
-                                              monitor=tcfg.monitor))
+    ckpt_dir = ckpt_overrides.get(
+        "dirpath") or cfg.get("paths", Config()).get("ckpt_dir",
+                                                     "outputs/checkpoints")
+    ckpt = CheckpointManager(CheckpointConfig(
+        directory=ckpt_dir,
+        monitor=tcfg.monitor,
+        mode=ckpt_overrides.get("mode", tcfg.monitor_mode),
+        max_to_keep=ckpt_overrides.get("save_top_k", 1),
+        save_last=ckpt_overrides.get("save_last", True)))
     if cfg.get("ckpt_path"):
         from videotgb_tpu.training.checkpoint import resolve_ckpt_path
 
@@ -434,7 +475,9 @@ def sf_pseudo_scores(model, params, db, text_answers, tok,
 def main(argv: list[str] | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "train", argv)
-    print_config_tree(cfg)
+    from videotgb_tpu.utils.task import apply_extras
+
+    apply_extras(cfg)
     train(cfg)
 
 

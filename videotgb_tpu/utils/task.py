@@ -64,3 +64,24 @@ def get_metric_value(metric_dict: Mapping[str, float],
             "make sure the name in hparams_search matches what the recipe logs"
         )
     return float(metric_dict[metric_name])
+
+
+def apply_extras(cfg) -> None:
+    """Apply the ``extras`` config group before a task runs (reference
+    src/utils/utils.py:12-40 ``extras()``): ``ignore_warnings`` silences the
+    python warnings module, ``enforce_tags`` requires a non-empty ``tags``
+    list, ``print_config`` prints the composed tree."""
+    import warnings
+
+    from videotgb_tpu.utils.logging import print_config_tree
+
+    extras = cfg.get("extras") if hasattr(cfg, "get") else None
+    if extras is None:
+        extras = {}
+    if extras.get("ignore_warnings"):
+        warnings.filterwarnings("ignore")
+    if extras.get("enforce_tags") and not cfg.get("tags"):
+        raise ValueError("extras.enforce_tags is set but cfg.tags is empty "
+                         "(reference src/utils/utils.py enforce_tags)")
+    if extras.get("print_config", True):
+        print_config_tree(cfg)
