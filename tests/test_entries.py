@@ -223,3 +223,177 @@ def test_iv_dataset_reads_files(tmp_path):
     txt_sample = ds[2]
     assert txt_sample["width"] == 0 and txt_sample["frames"] is None
     assert txt_sample["answer"].startswith("sure")
+
+
+def test_ivinstruct_config_groups_and_build_data(tmp_path):
+    """configs/{data,paths}/{iv,ivt}instruct.yaml group parity (reference
+    configs/data/ivinstruct.yaml + configs/paths/ivinstruct.yaml) and the
+    text_dir file-layout contract: build_data derives {split}.json,
+    pseudo_label.json and (ivt) nlp_tune.json from data.text_dir the way the
+    reference datasets do (ivinstruct_dataset.py:52,202,
+    ivtinstruct_dataset.py:218)."""
+    from videotgb_tpu.config import compose
+    from videotgb_tpu.train import CONFIG_DIR, build_data
+
+    # group composition: experiments pull paths+data+model groups like the
+    # reference defaults lists
+    cfg = compose(CONFIG_DIR, "train",
+                  ["experiment=LSTP_instructblipvicuna7b_ivinstruct"])
+    assert cfg.data.name == "iv"
+    assert cfg.data.text_dir.endswith("data/ivinstruct")
+    assert cfg.paths.of_dir.endswith("videoinstruct/flow")
+    assert cfg.model.get("sampler_ckpt")
+    cfg_ivt = compose(CONFIG_DIR, "train",
+                      ["experiment=LSTP_blip2flant5xl_ivtinstruct"])
+    assert cfg_ivt.data.name == "ivt"
+    assert cfg_ivt.model.lora_rank == 8
+
+    # text_dir layout: loaders come up from {split}.json (+ nlp_tune.json
+    # text-only rows for ivt) without media on disk
+    td = tmp_path / "ivinstruct"
+    td.mkdir()
+    row = {"conversations": [
+        {"from": "human", "value": "just text"},
+        {"from": "gpt", "value": "sure"}]}
+    (td / "train.json").write_text(json.dumps([row, row]))
+    (td / "val.json").write_text(json.dumps([row]))
+    (td / "pseudo_label.json").write_text(json.dumps({}))
+    (td / "nlp_tune.json").write_text(json.dumps([row]))
+
+    cfg = compose(CONFIG_DIR, "train", [
+        "experiment=LSTP_blip2flant5xl_ivtinstruct",
+        f"paths.root_dir={tmp_path}", f"data.text_dir={td}",
+        "data.tokenizer=byte", "data.num_workers=0", "data.batch_size=2",
+        "model.preset=tiny"])
+    from videotgb_tpu.models.videotgb import VideoTGBConfig
+
+    train_loader, val_loader, tok = build_data(
+        cfg, VideoTGBConfig.tiny(backbone="blip2"))
+    assert len(train_loader.dataset) == 3  # train.json + nlp_tune.json rows
+    assert len(val_loader.dataset) == 2
+    batch = next(iter(train_loader))
+    assert batch["frames"].shape[1] == 2  # tiny nframe
+    assert (np.asarray(batch["widths"]) == 0).all()  # text-only rows
+
+
+def test_sf_small_online_flow_model_config():
+    """configs/model/LSTP_SF_small.yaml (reference LSTP_SF_small_module:
+    RAFT inside the train step) wires SFRecipe(online_flow=True)."""
+    from videotgb_tpu.config import compose
+    from videotgb_tpu.train import CONFIG_DIR, build_recipe
+
+    cfg = compose(CONFIG_DIR, "train", ["model=LSTP_SF_small"])
+    recipe = build_recipe(cfg)
+    assert type(recipe).__name__ == "SFRecipe" and recipe.online_flow
+    assert cfg.model.backbone == "instructblip_t5"
+
+
+def test_ivt_train_cli_end_to_end(tmp_path, monkeypatch):
+    """`train.py experiment=LSTP_blip2flant5xl_ivtinstruct` runs the full
+    fit -> eval -> checkpoint loop from the text_dir file layout. Guards the
+    stage-3 CLI path that used to be compose-only: init goes through
+    recipes.backbone_init (IV batches carry no flow, so init_pipeline can't
+    run) and val generation through models.videotgb.generate_iv."""
+    monkeypatch.chdir(tmp_path)
+    td = tmp_path / "data" / "ivinstruct"
+    td.mkdir(parents=True)
+    row = {"conversations": [
+        {"from": "human", "value": "just text"},
+        {"from": "gpt", "value": "sure"}]}
+    (td / "train.json").write_text(json.dumps([row, row]))
+    (td / "val.json").write_text(json.dumps([row, row]))
+    (td / "pseudo_label.json").write_text(json.dumps({}))
+    (td / "nlp_tune.json").write_text(json.dumps([row, row]))
+
+    from videotgb_tpu.train import main as train_main
+
+    train_main(["experiment=LSTP_blip2flant5xl_ivtinstruct", "debug=fdr",
+                "model.preset=tiny", "data.tokenizer=byte",
+                "data.num_workers=0", "data.batch_size=2",
+                "extras.print_config=false",
+                "trainer.accumulate_grad_batches=1",
+                f"paths.root_dir={tmp_path}"])
+    ckpt_dir = tmp_path / "outputs" / "checkpoints"
+    assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
+
+
+def test_generate_iv_instructblip_masks_text_only_rows():
+    """generate_iv on the Vicuna backbone: pre-selected frames, no selection
+    stage; a widths==0 row must produce the same tokens as a pure-text
+    prompt (the visual prefix is fully masked), independent of the frame
+    content (reference ivtinstruct width-0 rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotgb_tpu.models.videotgb import VideoTGB, VideoTGBConfig, generate_iv
+    from videotgb_tpu.ops.decode import DecodeConfig
+    from videotgb_tpu.training.recipes import backbone_init
+
+    model = VideoTGB(VideoTGBConfig.tiny(backbone="instructblip"))
+    b, nf, hw = 2, 2, model.config.instructblip.vit.image_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(rng.normal(size=(b, nf, hw, hw, 3)),
+                              jnp.float32),
+        "widths": jnp.asarray([0, 0], jnp.int32),
+        "question_ids": jnp.asarray(rng.integers(3, 50, (b, 8)), jnp.int32),
+        "question_mask": jnp.ones((b, 8), jnp.int32),
+        "instruction_ids": jnp.asarray(rng.integers(3, 50, (b, 12)), jnp.int32),
+        "instruction_mask": jnp.ones((b, 12), jnp.int32),
+        "labels": jnp.asarray(rng.integers(3, 50, (b, 12)), jnp.int32),
+        "qformer_input_ids": jnp.asarray(rng.integers(3, 50, (b, 8)), jnp.int32),
+        "qformer_attention_mask": jnp.ones((b, 8), jnp.int32),
+    }
+    params = backbone_init(model, jax.random.key(0), batch)
+    dcfg = DecodeConfig(max_new_tokens=4, eos_token_id=2, pad_token_id=0)
+    toks = generate_iv(model, params, batch, dcfg, jax.random.key(1))
+    assert toks.shape == (b, 4)
+    # different frames, same widths==0 -> identical tokens (prefix masked)
+    batch2 = dict(batch)
+    batch2["frames"] = jnp.asarray(rng.normal(size=(b, nf, hw, hw, 3)),
+                                   jnp.float32)
+    toks2 = generate_iv(model, params, batch2, dcfg, jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+
+
+def test_trainer_group_platform_and_callbacks_extras():
+    """configs/trainer/{cpu,ddp_sim,ddp_spawn,ddp_freeze,tpu}.yaml parity
+    (reference configs/trainer/*.yaml accelerator/strategy variants) and the
+    model_summary / rich_progress_bar callback mappings onto TrainerConfig."""
+    from videotgb_tpu.config import compose
+    from videotgb_tpu.train import CONFIG_DIR, apply_callbacks
+    from videotgb_tpu.training.trainer import TrainerConfig, param_summary
+
+    cfg = compose(CONFIG_DIR, "train", ["trainer=ddp_sim"])
+    assert cfg.trainer.platform == "cpu" and cfg.trainer.devices == 2
+    assert cfg.trainer.dp == 2
+    cfg_cpu = compose(CONFIG_DIR, "train", ["trainer=cpu"])
+    assert cfg_cpu.trainer.platform == "cpu" and cfg_cpu.trainer.devices == 1
+    assert compose(CONFIG_DIR, "train", ["trainer=ddp_spawn"]).trainer.dp == -1
+    assert compose(CONFIG_DIR, "train", ["trainer=ddp_freeze"]).trainer.dp == -1
+    assert compose(CONFIG_DIR, "train", ["trainer=tpu"]).trainer.dp == 1
+
+    # default callbacks carry model_summary max_depth 2 (reference
+    # configs/callbacks/default.yaml:22) -> trainer knob; the standalone
+    # rich_progress_bar group flips the progress flag
+    tcfg = TrainerConfig()
+    apply_callbacks(compose(CONFIG_DIR, "train", []), tcfg)
+    assert tcfg.model_summary_depth == 2 and not tcfg.progress_bar
+    tcfg = TrainerConfig()
+    apply_callbacks(compose(CONFIG_DIR, "train",
+                            ["callbacks=rich_progress_bar"]), tcfg)
+    assert tcfg.progress_bar and tcfg.model_summary_depth is None
+    tcfg = TrainerConfig()
+    apply_callbacks(compose(CONFIG_DIR, "train",
+                            ["callbacks=model_summary"]), tcfg)
+    assert tcfg.model_summary_depth == 1
+
+    # param_summary groups by path depth and splits trainable counts
+    params = {"model": {"a": np.zeros((4, 4)), "b": np.zeros(8)},
+              "tgb": {"c": np.zeros(2)}}
+    mask = {"model": {"a": True, "b": False}, "tgb": {"c": True}}
+    lines = param_summary(params, mask, 1)
+    body = "\n".join(lines)
+    assert "model" in body and "tgb" in body
+    lines2 = param_summary(params, mask, 2)
+    assert any("model/a" in l for l in lines2)

@@ -646,6 +646,61 @@ def answer_phase_instructblip(
                                       decode_config, key, stop_sequences)
 
 
+def generate_iv(
+    model: VideoTGB,
+    params: Any,
+    batch: dict[str, jax.Array],
+    decode_config: DecodeConfig,
+    key: jax.Array,
+    stop_sequences: tuple[tuple[int, ...], ...] = (),
+) -> jax.Array:
+    """Stage-3 IV/IVT generation: frames arrive pre-selected and
+    CLIP-normalized from collate_iv (no RAFT/TGB selection in the graph) and
+    mean-pool to the 32-token visual prefix; text-only rows (widths == 0)
+    mask the prefix out of attention — the generate analogue of the IV
+    modules' eval path (reference LSTP_Blip2_IV_module.py:222-232 mean-pool,
+    ivtinstruct width-0 text rows). Returns token_ids (B, max_new)."""
+    cfg = model.config
+    frames = batch["frames"]
+    b, nf = frames.shape[:2]
+    vis_valid = None
+    if "widths" in batch:
+        vis_valid = (batch["widths"] > 0).astype(jnp.float32)
+    qf_ids = qf_mask = None
+    if cfg.instruction_aware:
+        qf_ids = batch.get("qformer_input_ids")
+        qf_mask = batch.get("qformer_attention_mask")
+        if qf_ids is not None:
+            qf_ids = jnp.repeat(qf_ids, nf, axis=0)
+            qf_mask = (jnp.repeat(qf_mask, nf, axis=0)
+                       if qf_mask is not None else None)
+    visual = model.apply(
+        params, frames.reshape(b * nf, *frames.shape[2:]), b, qf_ids, qf_mask,
+        method=_encode_frames_pool_method)
+    nv = visual.shape[1]
+    if cfg.backbone == "blip2":
+        embeds, mask = model.apply(params, visual, batch["question_ids"],
+                                   batch["question_mask"],
+                                   method=_encoder_inputs_method)
+        if vis_valid is not None:
+            mask = jnp.concatenate(
+                [mask[:, :nv] * vis_valid[:, None].astype(mask.dtype),
+                 mask[:, nv:]], axis=1)
+        enc_hidden = model.apply(params, embeds, mask,
+                                 method=_t5_encode_method)
+        return t5_generate_from_encoder(model, params, enc_hidden, mask,
+                                        decode_config, key, stop_sequences)
+    text_emb = model.apply(params, batch["question_ids"],
+                           method=_llama_embed_method)
+    embeds = jnp.concatenate([visual.astype(text_emb.dtype), text_emb], 1)
+    vis_mask = jnp.ones((b, nv), batch["question_mask"].dtype)
+    if vis_valid is not None:
+        vis_mask = vis_mask * vis_valid[:, None].astype(vis_mask.dtype)
+    mask = jnp.concatenate([vis_mask, batch["question_mask"]], axis=1)
+    return llama_generate_from_embeds(model, params, embeds, mask,
+                                      decode_config, key, stop_sequences)
+
+
 def _llama_embed_method(mdl: VideoTGB, ids):
     return mdl.model.language_model.embed(ids)
 

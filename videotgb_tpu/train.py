@@ -51,6 +51,10 @@ def build_recipe(cfg: Config):
     kwargs = {}
     if name in ("tg", "sf", "e2e") and cfg.model.get("tgb_mode"):
         kwargs["mode"] = cfg.model.tgb_mode
+    if name == "sf" and cfg.model.get("online_flow"):
+        # RAFT inside the train step instead of precomputed flow (reference
+        # LSTP_SF_small_module.py: xraft.RAFT instantiated in setup())
+        kwargs["online_flow"] = True
     if name == "e2e" and cfg.model.get("selection"):
         # "tgb" (LSTP_module.py live Gumbel selection) vs "uniform"
         # (LSTP_blip2_module.py baseline branch)
@@ -89,6 +93,11 @@ def apply_callbacks(cfg: Config, tcfg) -> dict:
                                           tcfg.early_stop_patience)
     if mc.get("every_n_train_steps"):
         tcfg.checkpoint_every = mc["every_n_train_steps"]
+    ms = cbs.get("model_summary")
+    if ms is not None:
+        tcfg.model_summary_depth = (ms or {}).get("max_depth", 1)
+    if "rich_progress_bar" in cbs:
+        tcfg.progress_bar = True
     return mc
 
 
@@ -126,14 +135,32 @@ def build_data(cfg: Config, mcfg):
         val_ds = VideoInstructDataset(
             dcfg.text_dir, dcfg.video_dir, dcfg.of_dir, split="val", **common)
     elif kind in ("iv", "ivt"):
+        import os as _os
+
         from videotgb_tpu.data.datasets import IVInstructDataset, collate_iv
 
-        mk = lambda split: IVInstructDataset(
-            dcfg.text_path, dcfg.image_dir, dcfg.video_dir, split=split,
-            nframe=mcfg.nframe, image_size=common["image_size"],
-            include_text_only=(kind == "ivt"),
-            text_only_path=dcfg.get("text_only_path"),
-        )
+        def _split_paths(split):
+            """text_dir layout parity (reference ivinstruct_dataset.py:52,202,
+            ivtinstruct_dataset.py:218): {split}.json + pseudo_label.json
+            (+ nlp_tune.json text-only rows for ivt). An explicit
+            data.text_path/text_only_path/pseudo_label_path overrides."""
+            td = dcfg.get("text_dir")
+            text = dcfg.get("text_path") or _os.path.join(td, f"{split}.json")
+            pseudo = dcfg.get("pseudo_label_path") or (
+                _os.path.join(td, "pseudo_label.json") if td else None)
+            text_only = dcfg.get("text_only_path") or (
+                _os.path.join(td, "nlp_tune.json") if td else None)
+            return text, pseudo, text_only
+
+        def mk(split):
+            text, pseudo, text_only = _split_paths(split)
+            return IVInstructDataset(
+                text, dcfg.image_dir, dcfg.video_dir, split=split,
+                nframe=mcfg.nframe, image_size=common["image_size"],
+                include_text_only=(kind == "ivt"),
+                text_only_path=text_only,
+                pseudo_label_path=pseudo,
+            )
         train_ds, val_ds = mk("train"), mk("val")
 
         # instruction-aware backbones read the prompt through the
@@ -243,7 +270,12 @@ def evaluate_generative(model, recipe, state, loader, tok,
         # eval_forward (LSTP_module.py:379-408 generates for blip2 AND the
         # Vicuna instructblip variant) so checkpoint selection never degrades
         # to loss-only on Vicuna recipes
-        if model.config.backbone == "blip2":
+        if "flow" not in db:
+            # IV/IVT batches: pre-selected frames, no selection stage
+            from videotgb_tpu.models.videotgb import generate_iv
+
+            tokens = generate_iv(model, params, db, dcfg, jax.random.key(0))
+        elif model.config.backbone == "blip2":
             tokens, _ = generate_blip2(model, params, db, dcfg, jax.random.key(0))
         else:
             tokens, _ = generate_instructblip(model, params, db, dcfg,
@@ -271,6 +303,21 @@ def train(cfg: Config) -> dict[str, float]:
     seed = cfg.get("seed", 42)
     if cfg.get("debug_nans"):
         jax.config.update("jax_debug_nans", True)
+    # trainer.platform: run on host CPU instead of the TPU backend (the
+    # reference's `trainer=cpu` / `trainer=ddp_sim` accelerator switch);
+    # devices>1 on cpu makes a virtual device pool for dp simulation. Must
+    # happen before any other jax call; a no-op if the backend already
+    # initialized to the requested platform (tests force cpu in conftest).
+    platform = cfg.get("trainer", Config()).get("platform")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+            if platform == "cpu":
+                jax.config.update(
+                    "jax_num_cpu_devices",
+                    int(cfg.trainer.get("devices", 1)))
+        except RuntimeError as e:  # backend already up (e.g. under pytest)
+            log.warning("trainer.platform=%s ignored: %s", platform, e)
     model, mcfg = build_model(cfg)
     recipe = build_recipe(cfg)
     train_loader, val_loader, tok = build_data(cfg, mcfg)
@@ -310,14 +357,21 @@ def train(cfg: Config) -> dict[str, float]:
     import jax.numpy as jnp
 
     key = jax.random.key(seed)
-    variables = model.init(
-        key, jnp.asarray(db["frames"]), jnp.asarray(db["flow"]),
-        jnp.asarray(db["flow_mask"]), jnp.asarray(db["video_length"]),
-        jnp.asarray(db["sampler_question_ids"]),
-        jnp.asarray(db["sampler_question_mask"]),
-        jnp.asarray(db["question_ids"]), jnp.asarray(db["question_mask"]),
-        key, method=model.init_pipeline,
-    )
+    if cfg.model.get("recipe", "tg") in ("iv", "ivt"):
+        # stage-3 batches carry pre-selected frames, no flow: init the
+        # backbone path only (reference IV/IVT modules never build RAFT/TGB)
+        from videotgb_tpu.training.recipes import backbone_init
+
+        variables = backbone_init(model, key, db)
+    else:
+        variables = model.init(
+            key, jnp.asarray(db["frames"]), jnp.asarray(db["flow"]),
+            jnp.asarray(db["flow_mask"]), jnp.asarray(db["video_length"]),
+            jnp.asarray(db["sampler_question_ids"]),
+            jnp.asarray(db["sampler_question_mask"]),
+            jnp.asarray(db["question_ids"]), jnp.asarray(db["question_mask"]),
+            key, method=model.init_pipeline,
+        )
     from videotgb_tpu.parallel.sharding import param_partition_spec
 
     param_specs = param_partition_spec(variables["params"])

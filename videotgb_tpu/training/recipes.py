@@ -257,6 +257,32 @@ def _backbone_forward(model: VideoTGB, variables, frames, batch,
         mean_pool, visual_valid, method=_instructblip_loss_method)
 
 
+def backbone_init(model: VideoTGB, key: jax.Array, batch: dict):
+    """Init variables for the IV/IVT stages: only the frozen-tower backbone
+    path is in the train graph — frames arrive pre-selected, so RAFT/TGB
+    never run (reference LSTP_Blip2_IV_module.py:560-568 builds and freezes
+    the backbone alone). The full-pipeline ``init_pipeline`` would require
+    flow inputs these batches don't carry."""
+    visual_valid = None
+    if "widths" in batch:
+        visual_valid = (jnp.asarray(batch["widths"]) > 0).astype(jnp.float32)
+    frames = jnp.asarray(batch["frames"])
+    if model.config.backbone == "blip2":
+        qf_ids = qf_mask = None
+        if model.config.instruction_aware:
+            qf_ids = batch.get("qformer_input_ids")
+            qf_mask = batch.get("qformer_attention_mask")
+        return model.init(key, frames, batch["question_ids"],
+                          batch["question_mask"], batch["answer_ids"],
+                          qf_ids, qf_mask, True, visual_valid,
+                          method=_blip2_loss_method)
+    return model.init(key, frames, batch["instruction_ids"],
+                      batch["instruction_mask"], batch["labels"],
+                      batch.get("qformer_input_ids"),
+                      batch.get("qformer_attention_mask"), True, visual_valid,
+                      method=_instructblip_loss_method)
+
+
 def _blip2_loss_method(mdl: VideoTGB, frames, q_ids, q_mask, a_ids, qf_ids,
                        qf_mask, mean_pool, visual_valid):
     return mdl.model(frames, q_ids, q_mask, a_ids, mean_pool=mean_pool,

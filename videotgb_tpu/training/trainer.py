@@ -46,8 +46,36 @@ class TrainerConfig:
     monitor: str = "val/score"
     monitor_mode: str = "max"
     early_stop_patience: int | None = None
+    # callbacks-group extras (reference configs/callbacks/model_summary.yaml
+    # RichModelSummary max_depth, rich_progress_bar.yaml RichProgressBar)
+    model_summary_depth: int | None = None
+    progress_bar: bool = False
     seed: int = 42
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def param_summary(params: Any, mask: Any, max_depth: int) -> list[str]:
+    """Depth-limited parameter table (the RichModelSummary analogue,
+    reference configs/callbacks/model_summary.yaml): param counts grouped by
+    the first ``max_depth`` path components, with trainable counts from the
+    optimizer mask."""
+    groups: dict[str, list[int]] = {}
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_m = jax.tree.leaves(mask)
+    for (path, leaf), m in zip(flat_p, flat_m):
+        name = "/".join(str(getattr(k, "key", k)) for k in path[:max_depth])
+        g = groups.setdefault(name, [0, 0])
+        n = int(jnp.size(leaf))
+        g[0] += n
+        if m:
+            g[1] += n
+    width = max(len(n) for n in groups) if groups else 0
+    lines = [f"  {'module'.ljust(width)}  params      trainable"]
+    for name in sorted(groups):
+        total, train = groups[name]
+        lines.append(f"  {name.ljust(width)}  {total / 1e6:8.2f}M  "
+                     f"{train / 1e6:8.2f}M")
+    return lines
 
 
 class TrainState:
@@ -110,6 +138,9 @@ class Trainer:
         n_total = sum(int(jnp.size(p)) for p in jax.tree.leaves(params))
         log.info("params: %.2fM trainable / %.2fM total",
                  n_train / 1e6, n_total / 1e6)
+        if cfg.model_summary_depth:
+            for line in param_summary(params, mask, cfg.model_summary_depth):
+                log.info("%s", line)
         # jitted init inherits the param shardings for the optimizer state
         opt_state = jax.jit(self._tx.init)(params)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
@@ -209,6 +240,12 @@ class Trainer:
                 batch = batch_transform(state, batch)
             state, metrics = self.train_step(state, batch)
             step = int(state.step)
+            if cfg.progress_bar:
+                # in-place per-step line (RichProgressBar analogue); the
+                # loss fetch syncs the step, so keep it off for benchmarks
+                print(f"\rstep {step}/{cfg.max_steps} "
+                      f"loss={float(metrics['loss']):.4f}",
+                      end="" if step < cfg.max_steps else "\n", flush=True)
             if step % cfg.log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 rate = step / (time.perf_counter() - t0)
