@@ -13,12 +13,15 @@ def test_train_then_eval_cli(tmp_path, monkeypatch):
     from videotgb_tpu.evaluate import main as eval_main
     from videotgb_tpu.train import main as train_main
 
+    # explicit paths.output_dir pins the dir (hydra run-dir redirect opts out)
     train_main(["experiment=smoke_tg_synthetic",
-                f"paths.root_dir={tmp_path}/run"])
+                f"paths.root_dir={tmp_path}/run",
+                f"paths.output_dir={tmp_path}/run/outputs"])
     ckpt_dir = tmp_path / "run" / "outputs" / "checkpoints"
     assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
     eval_main(["experiment=smoke_tg_synthetic",
                f"paths.root_dir={tmp_path}/run",
+               f"paths.output_dir={tmp_path}/run/outputs",
                f"ckpt_path={ckpt_dir}"])
     # csv metrics written
     csv_path = tmp_path / "run" / "outputs" / "csv" / "metrics.csv"
@@ -150,7 +153,8 @@ def test_train_cli_profiler_overlay(tmp_path, monkeypatch):
     from videotgb_tpu.train import main as train_main
 
     train_main(["experiment=smoke_tg_synthetic", "debug=profiler",
-                f"paths.root_dir={tmp_path}/run"])
+                f"paths.root_dir={tmp_path}/run",
+                f"paths.output_dir={tmp_path}/run/outputs"])
     traces = glob.glob(str(tmp_path / "run" / "outputs" / "trace" / "**" /
                            "*.trace.json.gz"), recursive=True)
     assert traces, "no trace file produced by debug=profiler"
@@ -166,11 +170,13 @@ def test_train_then_eval_cli_sf_generative(tmp_path, monkeypatch):
     from videotgb_tpu.train import main as train_main
 
     train_main(["experiment=smoke_sf_synthetic",
-                f"paths.root_dir={tmp_path}/run"])
+                f"paths.root_dir={tmp_path}/run",
+                f"paths.output_dir={tmp_path}/run/outputs"])
     ckpt_dir = tmp_path / "run" / "outputs" / "checkpoints"
     assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
     metrics = eval_main(["experiment=smoke_sf_synthetic",
                          f"paths.root_dir={tmp_path}/run",
+                         f"paths.output_dir={tmp_path}/run/outputs",
                          f"ckpt_path={ckpt_dir}"])
     assert "test/score" in metrics
     assert 0.0 <= metrics["test/score"] <= 1.0
@@ -312,7 +318,8 @@ def test_ivt_train_cli_end_to_end(tmp_path, monkeypatch):
                 "data.num_workers=0", "data.batch_size=2",
                 "extras.print_config=false",
                 "trainer.accumulate_grad_batches=1",
-                f"paths.root_dir={tmp_path}"])
+                f"paths.root_dir={tmp_path}",
+                f"paths.output_dir={tmp_path}/outputs"])
     ckpt_dir = tmp_path / "outputs" / "checkpoints"
     assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
 
@@ -397,3 +404,87 @@ def test_trainer_group_platform_and_callbacks_extras():
     assert "model" in body and "tgb" in body
     lines2 = param_summary(params, mask, 2)
     assert any("model/a" in l for l in lines2)
+
+
+def test_hydra_run_dir_management(tmp_path, monkeypatch):
+    """Hydra run-dir analogue (reference configs/hydra/default.yaml:9-21):
+    two consecutive runs land in DISTINCT dated dirs under
+    logs/<task_name>/runs/, each containing the per-run job log
+    (train.log), the checkpoints, and the .hydra config snapshot."""
+    monkeypatch.chdir(tmp_path)
+    from videotgb_tpu.train import main as train_main
+
+    for _ in range(2):
+        train_main(["experiment=smoke_tg_synthetic",
+                    f"paths.root_dir={tmp_path}/run"])
+    runs_root = tmp_path / "run" / "logs" / "train" / "runs"
+    run_dirs = sorted(p for p in runs_root.iterdir() if p.is_dir())
+    assert len(run_dirs) == 2, f"expected 2 distinct run dirs, got {run_dirs}"
+    for rd in run_dirs:
+        assert (rd / "train.log").exists() and (
+            rd / "train.log").stat().st_size > 0
+        assert (rd / "checkpoints").exists() and any(
+            (rd / "checkpoints").iterdir())
+        assert (rd / ".hydra" / "config.yaml").exists()
+        assert (rd / ".hydra" / "overrides.yaml").exists()
+    # the job logs are per-run: the first run's log must not contain the
+    # second run's records (the handler is swapped at setup_run_dir)
+    first_log = (run_dirs[0] / "train.log").read_text()
+    assert str(run_dirs[1]) not in first_log
+
+
+def test_hydra_sweep_multirun_subdirs(tmp_path, monkeypatch):
+    """Multirun trials write <sweep_dir>/<job_num> subdirs (reference
+    configs/hydra/default.yaml sweep.subdir: ${hydra.job.num}), all under
+    ONE dated sweep dir."""
+    monkeypatch.chdir(tmp_path)
+    from videotgb_tpu.utils.sweep import parse_space, run_sweep
+
+    run_sweep(
+        ["experiment=smoke_tg_synthetic", f"paths.root_dir={tmp_path}/run"],
+        {"model.optimizer.lr": parse_space("choice(1e-4,2e-4)")},
+        trials=2, metric="val/iou_score", mode="max", sampler="random")
+    multirun_root = tmp_path / "run" / "logs" / "train" / "multiruns"
+    sweeps = [p for p in multirun_root.iterdir() if p.is_dir()]
+    assert len(sweeps) == 1, "trials scattered across sweep dirs"
+    subdirs = sorted(p.name for p in sweeps[0].iterdir() if p.is_dir())
+    assert subdirs == ["0", "1"]
+    for sub in subdirs:
+        assert (sweeps[0] / sub / "train.log").exists()
+
+
+def test_trainer_gpu_mps_aliases_and_optuna_name():
+    """The reference's remaining override strings resolve verbatim:
+    trainer=gpu / trainer=mps (reference configs/trainer/{gpu,mps}.yaml —
+    single-accelerator layouts, dp=1 here) and
+    hparams_search=videoinstruct_optuna (reference
+    configs/hparams_search/videoinstruct_optuna.yaml)."""
+    from videotgb_tpu.config import compose
+    from videotgb_tpu.train import CONFIG_DIR
+
+    for name in ("gpu", "mps"):
+        cfg = compose(CONFIG_DIR, "train", [f"trainer={name}"])
+        assert cfg.trainer.dp == 1 and cfg.trainer.fsdp == 1
+
+    cfg = compose(CONFIG_DIR, "train",
+                  ["hparams_search=videoinstruct_optuna"])
+    hs = cfg.hparams_search
+    assert hs.metric == "val/iou_score" and hs.mode == "max"
+    assert hs.trials == 20
+    assert "model.optimizer.lr" in hs.space
+
+
+def test_now_resolver_frozen_per_compose():
+    """${now:...} renders hydra's dynamic timestamps and is frozen per
+    compose(): every occurrence in one tree agrees."""
+    import re
+
+    from videotgb_tpu.config import compose
+    from videotgb_tpu.train import CONFIG_DIR
+
+    cfg = compose(CONFIG_DIR, "train", [])
+    run_dir = cfg.hydra.run.dir
+    m = re.search(r"runs/(\d{4}-\d{2}-\d{2})_(\d{2}-\d{2}-\d{2})$", run_dir)
+    assert m, run_dir
+    sweep_dir = cfg.hydra.sweep.dir
+    assert sweep_dir.endswith(f"{m.group(1)}_{m.group(2)}")

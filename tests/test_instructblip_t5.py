@@ -104,7 +104,8 @@ def test_smoke_train_vicuna_sf_cli(tmp_path, monkeypatch):
     from videotgb_tpu.train import main as train_main
 
     train_main(["experiment=smoke_sf_vicuna_synthetic",
-                f"paths.root_dir={tmp_path}/run"])
+                f"paths.root_dir={tmp_path}/run",
+                f"paths.output_dir={tmp_path}/run/outputs"])
     assert (tmp_path / "run" / "outputs" / "checkpoints").exists()
 
 
@@ -115,7 +116,8 @@ def test_smoke_train_it5_e2e_cli(tmp_path, monkeypatch):
     from videotgb_tpu.train import main as train_main
 
     train_main(["experiment=smoke_e2e_it5_synthetic",
-                f"paths.root_dir={tmp_path}/run"])
+                f"paths.root_dir={tmp_path}/run",
+                f"paths.output_dir={tmp_path}/run/outputs"])
     assert (tmp_path / "run" / "outputs" / "checkpoints").exists()
 
 

@@ -20,6 +20,7 @@ access, so they remain picklable and json-serializable.
 from __future__ import annotations
 
 import ast
+import datetime
 import functools
 import importlib
 import os
@@ -29,6 +30,12 @@ from typing import Any, Iterable, Mapping
 import yaml
 
 _INTERP_RE = re.compile(r"\$\{([^}]+)\}")
+
+# ``${now:%Y-%m-%d}`` resolver timestamp (hydra's run-dir templating,
+# reference configs/hydra/default.yaml:9-14). Frozen once per compose() so
+# every occurrence in one config tree renders the same instant — a run dir
+# assembled from several ${now:...} pieces must not straddle a second.
+_NOW: datetime.datetime | None = None
 
 
 class Config(dict):
@@ -134,6 +141,10 @@ def _resolve_interp(value: Any, root: Mapping) -> Any:
 
 
 def _lookup(root: Mapping, dotted: str) -> Any:
+    if dotted.startswith("now:"):
+        # ${now:%Y-%m-%d} — hydra's dynamic run-dir timestamp
+        stamp = _NOW if _NOW is not None else datetime.datetime.now()
+        return stamp.strftime(dotted[len("now:"):])
     if dotted.startswith("oc.env:"):
         # ${oc.env:VAR,default}
         body = dotted[len("oc.env:") :]
@@ -169,6 +180,8 @@ def compose(
     Order (reference configs/train.yaml:6-21): root defaults -> experiment
     overlay -> command-line overrides -> interpolation resolution.
     """
+    global _NOW
+    _NOW = datetime.datetime.now()
     overrides = list(overrides or [])
     # group selections from command line (e.g. experiment=..., trainer=ddp)
     selections: dict[str, str] = {}

@@ -84,8 +84,9 @@ def evaluate(cfg: Config) -> dict[str, float]:
 def main(argv: list[str] | None = None) -> dict[str, float]:
     argv = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "eval", argv)
-    from videotgb_tpu.utils.task import apply_extras
+    from videotgb_tpu.utils.task import apply_extras, setup_run_dir
 
+    setup_run_dir(cfg, job_name="eval", overrides=argv)
     apply_extras(cfg)
     return evaluate(cfg)
 

@@ -529,8 +529,9 @@ def sf_pseudo_scores(model, params, db, text_answers, tok,
 def main(argv: list[str] | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "train", argv)
-    from videotgb_tpu.utils.task import apply_extras
+    from videotgb_tpu.utils.task import apply_extras, setup_run_dir
 
+    setup_run_dir(cfg, job_name="train", overrides=argv)
     apply_extras(cfg)
     train(cfg)
 

@@ -167,9 +167,25 @@ def run_sweep(
     if train_fn is None:
         from videotgb_tpu.config import compose
         from videotgb_tpu.train import CONFIG_DIR, train
+        from videotgb_tpu.utils.task import setup_run_dir
+
+        # multirun dirs (reference configs/hydra/default.yaml:12-15): all
+        # trials share one dated sweep dir, each trial writes into
+        # <sweep_dir>/<job_num>. The sweep dir is frozen at the first trial
+        # (each compose() re-stamps ${now:...}; trials must not scatter).
+        sweep_state = {"dir": None, "job": 0}
 
         def train_fn(overrides):
-            return train(compose(CONFIG_DIR, "train", overrides))
+            cfg = compose(CONFIG_DIR, "train", overrides)
+            hydra_cfg = cfg.get("hydra")
+            if hydra_cfg is not None:
+                if sweep_state["dir"] is None:
+                    sweep_state["dir"] = hydra_cfg["sweep"]["dir"]
+                setup_run_dir(cfg, job_name="train", overrides=overrides,
+                              multirun_dir=sweep_state["dir"],
+                              job_num=sweep_state["job"])
+                sweep_state["job"] += 1
+            return train(cfg)
 
     rng = random.Random(seed)
     best = None

@@ -66,6 +66,104 @@ def get_metric_value(metric_dict: Mapping[str, float],
     return float(metric_dict[metric_name])
 
 
+def _rewrite_prefix(node, old: str, new: str) -> None:
+    """In-place: every string leaf equal to ``old`` or under ``old``/...
+    gets the prefix swapped for ``new``."""
+    from typing import Mapping
+
+    if isinstance(node, Mapping):
+        items = node.items()
+    elif isinstance(node, list):
+        items = enumerate(node)
+    else:
+        return
+    for key, val in items:
+        if isinstance(val, str) and (
+                val == old or val.startswith(old.rstrip("/") + "/")):
+            node[key] = new + val[len(old):]
+        else:
+            _rewrite_prefix(val, old, new)
+
+
+def setup_run_dir(cfg, job_name: str = "train",
+                  overrides: list[str] | None = None,
+                  multirun_dir: str | None = None,
+                  job_num: int | None = None) -> str | None:
+    """Hydra run-dir management analogue (reference
+    configs/hydra/default.yaml:9-21): point ``paths.output_dir`` (and the
+    derived ``paths.ckpt_dir``) at a fresh dated run directory from
+    ``cfg.hydra.run.dir``, attach a per-run job log file
+    (``<run_dir>/<job_name>.log``), and snapshot the composed config +
+    overrides into ``<run_dir>/.hydra/`` the way hydra does.
+
+    Multirun trials pass ``multirun_dir`` (the sweep dir, frozen across
+    trials) and ``job_num`` — the trial lands in ``<sweep_dir>/<job_num>``
+    (reference ``sweep.subdir: ${hydra.job.num}``).
+
+    An explicit ``paths.output_dir=...`` command-line override opts out
+    (the user pinned the dir; nothing is redirected), mirroring hydra where
+    a CLI override of the interpolated path wins. Returns the active output
+    dir, or None when the ``hydra`` group is absent (hydra=null).
+    """
+    explicit = any(o.split("=", 1)[0].lstrip("+") == "paths.output_dir"
+                   for o in (overrides or []))
+    hydra_cfg = cfg.get("hydra") if hasattr(cfg, "get") else None
+    paths = cfg.get("paths") if hasattr(cfg, "get") else None
+    if hydra_cfg is None or paths is None or explicit:
+        return paths.get("output_dir") if paths else None
+
+    if multirun_dir is not None:
+        run_dir = os.path.join(multirun_dir, str(job_num or 0))
+    else:
+        run_dir = hydra_cfg["run"]["dir"]
+    # de-collide runs launched within the same second (the template's finest
+    # granularity): numeric suffix like hydra's job-id disambiguation
+    base, n = run_dir, 1
+    while os.path.exists(run_dir):
+        run_dir = f"{base}_{n}"
+        n += 1
+    os.makedirs(run_dir)
+
+    old_out = paths.get("output_dir")
+    # rewrite EVERY string leaf that interpolated ${paths.output_dir}
+    # (paths.ckpt_dir, callbacks.model_checkpoint.dirpath, ...) — hydra
+    # resolves ${hydra:runtime.output_dir} late, so all derived paths follow
+    # the run dir; this compose grammar resolves early, so follow up here
+    if old_out:
+        _rewrite_prefix(cfg, str(old_out), run_dir)
+    paths["output_dir"] = run_dir
+
+    if (hydra_cfg.get("job_logging") or {}).get("file", True):
+        from videotgb_tpu.utils.logging import (add_file_handler,
+                                                remove_file_handler)
+
+        # one job log per run: a previous run's handler (same process —
+        # sweeps, tests) must not keep receiving this run's records
+        prev = getattr(setup_run_dir, "_handler", None)
+        if prev is not None:
+            remove_file_handler(prev)
+        setup_run_dir._handler = add_file_handler(
+            os.path.join(run_dir, f"{job_name}.log"))
+
+    # .hydra/ snapshot: composed config + raw overrides (hydra writes
+    # config.yaml/overrides.yaml per run)
+    try:
+        import yaml
+
+        from videotgb_tpu.config import to_dict
+
+        snap = os.path.join(run_dir, ".hydra")
+        os.makedirs(snap, exist_ok=True)
+        with open(os.path.join(snap, "config.yaml"), "w") as f:
+            yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+        with open(os.path.join(snap, "overrides.yaml"), "w") as f:
+            yaml.safe_dump(list(overrides or []), f)
+    except Exception:  # snapshot is best-effort; never blocks the run
+        log.warning("could not write .hydra config snapshot", exc_info=True)
+    log.info("run dir: %s", run_dir)
+    return run_dir
+
+
 def apply_extras(cfg) -> None:
     """Apply the ``extras`` config group before a task runs (reference
     src/utils/utils.py:12-40 ``extras()``): ``ignore_warnings`` silences the
