@@ -197,3 +197,94 @@ def test_trainer_grad_accumulation(mesh8):
     # both micro-batches are identical, so the mean equals the loss
     np.testing.assert_allclose(float(metrics["span_loss"]),
                                float(metrics["loss"]), rtol=1e-5)
+
+
+def _linreg_trainer(max_steps=12, **kw):
+    def loss_fn(params, batch, key):
+        pred = batch["x"] @ params["w"] + params["b"]
+        noise = jax.random.normal(key, pred.shape) * 0.01
+        loss = jnp.mean((pred + noise - batch["y"]) ** 2)
+        return loss, {"loss": loss}
+
+    cfg = TrainerConfig(max_steps=max_steps, lr=1e-2, eval_every=10_000,
+                        checkpoint_every=10_000, log_every=100, seed=7, **kw)
+    return Trainer(cfg, loss_fn)
+
+
+def _linreg_state(trainer):
+    from jax.sharding import PartitionSpec
+
+    k = jax.random.key(0)
+    params = {"w": jax.random.normal(k, (4, 3)), "b": jnp.zeros((3,))}
+    specs = jax.tree.map(lambda _: PartitionSpec(), params)
+    return trainer.init_state(params, param_specs=specs)
+
+
+def _linreg_batches(n, seed=3):
+    rng = np.random.default_rng(seed)
+    return [{"x": np.asarray(rng.standard_normal((8, 4)), np.float32),
+             "y": np.asarray(rng.standard_normal((8, 3)), np.float32)}
+            for _ in range(n)]
+
+
+def test_multi_step_matches_single_steps():
+    """K-steps-per-dispatch (lax.scan over a stacked batch window) computes
+    what K consecutive train_step calls would: same per-substep RNG fold,
+    same params out, per-substep metrics stacked (K,)."""
+    batches = _linreg_batches(4)
+
+    t1 = _linreg_trainer()
+    s1 = _linreg_state(t1)
+    singles = []
+    for b in batches:
+        s1, m = t1.train_step(s1, b)
+        singles.append({k: float(v) for k, v in m.items()})
+
+    t2 = _linreg_trainer()
+    s2 = _linreg_state(t2)
+    window = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    s2, stacked = t2.train_step_multi(s2, window)
+
+    assert int(s2.step) == int(s1.step) == 4
+    for i, m in enumerate(singles):
+        for k in m:
+            np.testing.assert_allclose(float(stacked[k][i]), m[k],
+                                       rtol=1e-5, atol=1e-7, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-7),
+        s1.params, s2.params)
+
+
+def test_fit_steps_per_dispatch_stops_at_horizon():
+    """fit() with steps_per_dispatch=K windows the stream, never overshoots
+    max_steps (K does not divide it here), and matches the K=1 run."""
+    batches = _linreg_batches(20)
+
+    t1 = _linreg_trainer(max_steps=10)
+    s1 = t1.fit(_linreg_state(t1), iter(batches))
+    assert int(s1.step) == 10
+
+    t2 = _linreg_trainer(max_steps=10, steps_per_dispatch=4)
+    s2 = t2.fit(_linreg_state(t2), iter(batches))
+    assert int(s2.step) == 10  # 2 windows of 4 + 2 single steps
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-7),
+        s1.params, s2.params)
+
+
+def test_fit_steps_per_dispatch_disabled_by_batch_transform():
+    """Recipes with a host pass between steps (SF pseudo-labels) fall back
+    to the per-step path: the transform must see every batch."""
+    batches = _linreg_batches(6)
+    seen = []
+
+    def transform(state, batch):
+        seen.append(int(state.step))
+        return batch
+
+    t = _linreg_trainer(max_steps=6, steps_per_dispatch=4)
+    s = t.fit(_linreg_state(t), iter(batches), batch_transform=transform)
+    assert int(s.step) == 6
+    assert seen == [0, 1, 2, 3, 4, 5]

@@ -104,21 +104,25 @@ def batch_spec() -> P:
     return P((DATA_AXIS, FSDP_AXIS))
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Shard every leaf of a batch along its leading axis over dp(+fsdp).
+def shard_batch(batch: Any, mesh: Mesh, axis: int = 0) -> Any:
+    """Shard every leaf of a batch along axis ``axis`` over dp(+fsdp).
 
-    Leaves whose leading dim is not divisible by the data-parallel extent
-    (scalars, per-step constants) are replicated instead.
+    ``axis=0`` is the ordinary per-step batch; ``axis=1`` handles a
+    K-steps-per-dispatch window whose leaves are stacked (K, B, ...) — the
+    scan axis stays unsharded, the batch axis shards. Leaves whose sharded
+    dim is not divisible by the data-parallel extent (scalars, per-step
+    constants) are replicated instead.
     """
     import numpy as np
 
     dp_size = int(np.prod([mesh.shape[a] for a in (DATA_AXIS, FSDP_AXIS)]))
-    sharded = NamedSharding(mesh, batch_spec())
+    spec = P(*([None] * axis), (DATA_AXIS, FSDP_AXIS))
+    sharded = NamedSharding(mesh, spec)
     replicated = NamedSharding(mesh, P())
 
     def put(x):
         arr = jax.numpy.asarray(x)
-        if arr.ndim >= 1 and arr.shape[0] % dp_size == 0:
+        if arr.ndim > axis and arr.shape[axis] % dp_size == 0:
             return jax.device_put(arr, sharded)
         return jax.device_put(arr, replicated)
 

@@ -40,6 +40,12 @@ class TrainerConfig:
     warmup_ratio: float = 0.05
     accumulate_grad_batches: int = 1
     max_grad_norm: float | None = 1.0
+    # K train steps per host dispatch (lax.scan over a stacked batch window
+    # with donated carry): amortizes the ~2x host-dispatch overhead measured
+    # on the TG stage (ROOFLINE.md — 68.9 ms wall vs 31 ms device on the
+    # 1-core harness). 1 = the ordinary per-step path. Recipes that need a
+    # host pass between steps (SF pseudo-labels) fall back to 1 in fit().
+    steps_per_dispatch: int = 1
     log_every: int = 50
     eval_every: int = 500
     checkpoint_every: int = 500
@@ -206,7 +212,24 @@ class Trainer:
                     metrics[k] = v
             return params, opt_state, step_idx + 1, metrics
 
+        self._step_body = step
         self._train_step = jax.jit(step, donate_argnums=(0, 1))
+
+        def multi(params, opt_state, step_idx, batches, keys):
+            # K substeps in one compiled program; each substep is the SAME
+            # body as the single-step path (identical numerics/RNG sequence)
+            def body(carry, inp):
+                params, opt_state, step_idx = carry
+                batch, key = inp
+                params, opt_state, step_idx, metrics = step(
+                    params, opt_state, step_idx, batch, key)
+                return (params, opt_state, step_idx), metrics
+
+            (params, opt_state, step_idx), metrics = jax.lax.scan(
+                body, (params, opt_state, step_idx), (batches, keys))
+            return params, opt_state, step_idx, metrics
+
+        self._multi_step = jax.jit(multi, donate_argnums=(0, 1))
 
     def train_step(self, state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         if self._train_step is None:
@@ -219,6 +242,65 @@ class Trainer:
                 state.params, state.opt_state, state.step, batch, key
             )
         return TrainState(params, opt_state, step), metrics
+
+    def train_step_multi(self, state: TrainState, window: dict
+                         ) -> tuple[TrainState, dict]:
+        """K train steps in ONE dispatch. ``window`` leaves are stacked
+        (K, B, ...); the scan axis stays on-device, the batch axis shards
+        over dp(+fsdp). Returns metrics stacked (K,) per key — substep i of
+        the window computes exactly what K consecutive single train_step
+        calls would (same per-step RNG fold), so resume/logging semantics
+        are unchanged; only host dispatch is amortized."""
+        if self._train_step is None:
+            self._build_step()
+        k_steps = int(jax.tree.leaves(window)[0].shape[0])
+        base = int(state.step)
+        keys = jnp.stack([self.rng.fold(base + i, "train")
+                          for i in range(k_steps)])
+        window = shard_batch(window, self.mesh, axis=1)
+        with self.mesh:
+            params, opt_state, step, metrics = self._multi_step(
+                state.params, state.opt_state, state.step, window, keys)
+        return TrainState(params, opt_state, step), metrics
+
+    def _windows(self, train_iter: Iterable[dict], k: int,
+                 state: TrainState) -> Iterable:
+        """Group the batch stream into K-step windows for train_step_multi.
+
+        Yields ``("window", stacked)`` tuples whose leaves are np.stack'd
+        (K, B, ...) — host-side, shard_batch does the device_put — and falls
+        back to yielding raw batches one at a time near the max_steps horizon
+        or when the iterator ends mid-window, so the run stops at EXACTLY
+        max_steps (K-step jumps never overshoot) and only ONE window shape
+        ever compiles."""
+        import numpy as np
+
+        remaining = self.config.max_steps - int(state.step)
+        buf: list[dict] = []
+        for batch in train_iter:
+            if remaining < k:
+                # horizon closer than a full window: drain buffer + singles
+                # (remaining counts buffered-but-unyielded steps too, so this
+                # only triggers with an empty buffer)
+                for b in buf:
+                    remaining -= 1
+                    yield b
+                buf.clear()
+                remaining -= 1
+                yield batch
+                if remaining <= 0:
+                    return
+                continue
+            buf.append(batch)
+            if len(buf) == k:
+                stacked = jax.tree.map(lambda *xs: np.stack(xs), *buf)
+                buf.clear()
+                remaining -= k
+                yield ("window", stacked)
+                if remaining <= 0:
+                    return
+        for b in buf:  # iterator exhausted mid-window
+            yield b
 
     # ------------------------------------------------------------------ fit
     def fit(
@@ -234,25 +316,42 @@ class Trainer:
         cfg = self.config
         if int(state.step) >= cfg.max_steps:
             return state  # resumed at/after the horizon: nothing to do
+        # K-steps-per-dispatch only when no host pass runs between steps
+        # (the SF pseudo-label transform needs current params every step)
+        k_dispatch = cfg.steps_per_dispatch if batch_transform is None else 1
         t0 = time.perf_counter()
-        for batch in train_iter:
-            if batch_transform is not None:
-                batch = batch_transform(state, batch)
-            state, metrics = self.train_step(state, batch)
+        feed = (self._windows(train_iter, k_dispatch, state)
+                if k_dispatch > 1 else train_iter)
+        for batch in feed:
+            prev_step = int(state.step)
+            if k_dispatch > 1 and isinstance(batch, tuple):
+                state, stacked = self.train_step_multi(state, batch[1])
+                metrics = {k: v[-1] for k, v in stacked.items()}
+            else:
+                if batch_transform is not None:
+                    batch = batch_transform(state, batch)
+                state, metrics = self.train_step(state, batch)
             step = int(state.step)
+
+            def crossed(every):
+                # boundary test that survives K-step jumps: true when any
+                # step in (prev_step, step] is a multiple of ``every``
+                # (== step % every == 0 for the K=1 path)
+                return bool(every) and (step // every) > (prev_step // every)
+
             if cfg.progress_bar:
                 # in-place per-step line (RichProgressBar analogue); the
                 # loss fetch syncs the step, so keep it off for benchmarks
                 print(f"\rstep {step}/{cfg.max_steps} "
                       f"loss={float(metrics['loss']):.4f}",
                       end="" if step < cfg.max_steps else "\n", flush=True)
-            if step % cfg.log_every == 0:
+            if crossed(cfg.log_every):
                 host = {k: float(v) for k, v in metrics.items()}
                 rate = step / (time.perf_counter() - t0)
                 log.info("step %d %s (%.2f it/s)", step, host, rate)
                 if self.writers is not None:
                     self.writers.log_metrics(host, step)
-            if eval_fn is not None and step % cfg.eval_every == 0:
+            if eval_fn is not None and crossed(cfg.eval_every):
                 eval_metrics = eval_fn(state)
                 log.info("eval @%d: %s", step, eval_metrics)
                 if self.writers is not None:
