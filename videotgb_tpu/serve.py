@@ -130,13 +130,27 @@ class ServingEngine:
         self._jax = jax
         self._key = jax.random.key(seed)
         self._queue: "queue.Queue[_Request | None]" = queue.Queue()
+        # two-stage pipeline: the select worker feeds prepared batches here,
+        # the answer worker drains. Depth 1 = at most one batch in flight
+        # between phases — enough to overlap select(N+1) with answer(N)
+        # without unbounded latency buildup.
+        self._mid: "queue.Queue" = queue.Queue(maxsize=1)
+        self._answer_busy = threading.Event()
         self._recent_lat: list[float] = []  # last N request latencies (ms)
+        # per-phase wall timings (ms, last ≤512 batches) — the loaded-latency
+        # decomposition /v1/stats reports
+        self._phase_t: dict[str, list] = {
+            "queue_wait": [], "assembly": [], "host_prep": [],
+            "select": [], "gather": [], "answer": [], "postprocess": []}
         self._served = 0
         self._batches = 0
         self._t_start = time.perf_counter()
         self._build_phases()
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker = threading.Thread(target=self._run_select, daemon=True)
         self._worker.start()
+        self._answer_worker = threading.Thread(target=self._run_answer,
+                                               daemon=True)
+        self._answer_worker.start()
 
     def stats(self) -> dict:
         """Operational snapshot: served counts, queue depth, and latency
@@ -159,6 +173,15 @@ class ServingEngine:
                 p90_ms=round(float(np.percentile(arr, 90)), 1),
                 p99_ms=round(float(np.percentile(arr, 99)), 1),
             )
+        # loaded-latency decomposition: where a request's wall time goes —
+        # queue_wait (submit -> first pop), assembly (batch soak), host_prep
+        # (tokenize+stack), select (phase-1 device incl. index fetch), gather
+        # (host frame gather + upload), answer (phase-2 device incl. token
+        # fetch), postprocess (detokenize + future resolution)
+        out["phase_ms"] = {
+            name: {"p50": round(float(np.percentile(np.asarray(ts), 50)), 1),
+                   "p90": round(float(np.percentile(np.asarray(ts), 90)), 1)}
+            for name, ts in self._phase_t.items() if ts}
         return out
 
     # ------------------------------------------------------------- pipeline
@@ -219,29 +242,58 @@ class ServingEngine:
             question)
 
     # --------------------------------------------------------------- worker
+    def _phase(self, name: str, ms: float):
+        ts = self._phase_t[name]
+        ts.append(round(ms, 2))
+        if len(ts) > 512:
+            del ts[: len(ts) - 512]
+
     def _collect(self) -> list[_Request] | None:
-        """Block for the first request, then soak up to batch_size within
-        max_delay_ms."""
+        """Block for the first request, then batch adaptively.
+
+        Whatever is already queued is drained for free. Beyond that, soak
+        up to max_delay_ms for more arrivals ONLY while the answer stage is
+        busy — the pipe is occupied anyway, so waiting costs no latency.
+        When the pipe is idle, dispatch immediately: a fixed 30 ms soak in
+        that regime is pure added latency (the round-4 loaded-p50 tax)."""
         first = self._queue.get()
         if first is None:
             return None
+        t_pop = time.perf_counter()
+        self._phase("queue_wait", (t_pop - first.t_submit) * 1000)
         group = [first]
-        deadline = time.perf_counter() + self.max_delay_s
-        while len(group) < self.batch_size:
-            remaining = deadline - time.perf_counter()
-            if remaining <= 0:
-                break
+        while len(group) < self.batch_size:  # free: already queued
             try:
-                nxt = self._queue.get(timeout=remaining)
+                nxt = self._queue.get_nowait()
             except queue.Empty:
                 break
             if nxt is None:
                 self._queue.put(None)  # propagate shutdown after this batch
-                break
+                self._phase("assembly", (time.perf_counter() - t_pop) * 1000)
+                return group
             group.append(nxt)
+        if len(group) < self.batch_size and self._answer_busy.is_set():
+            deadline = t_pop + self.max_delay_s
+            while len(group) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue.put(None)
+                    break
+                group.append(nxt)
+        self._phase("assembly", (time.perf_counter() - t_pop) * 1000)
         return group
 
-    def _run(self):
+    def _run_select(self):
+        """Stage 1: collect -> tokenize -> RAFT+TGB select on device ->
+        host frame gather -> hand off to the answer stage. Runs ahead of
+        the answer worker so select(N+1) overlaps answer(N), and new
+        arrivals are admitted while a batch is decoding."""
         import contextlib
 
         import jax
@@ -253,12 +305,14 @@ class ServingEngine:
         while True:
             group = self._collect()
             if group is None:
+                self._mid.put(None)  # propagate shutdown to the answer stage
                 return
             pad = self.batch_size - len(group)
             padded = group + [group[-1]] * pad
             mesh_ctx = (self._mesh if self._mesh is not None
                         else contextlib.nullcontext())
             try:
+                t0 = time.perf_counter()
                 b = self.batch_size
                 questions = [r.question for r in padded]
                 prompts = [f"USER: <video>\n{q} ASSISTANT: " for q in questions]
@@ -288,17 +342,41 @@ class ServingEngine:
                     flow_u8 = shard_batch(flow_u8, self._mesh)
                 key = jax.random.fold_in(self._key, step)
                 step += 1
+                t1 = time.perf_counter()
+                self._phase("host_prep", (t1 - t0) * 1000)
                 with mesh_ctx:
                     sel_idx = np.asarray(
                         self._select(self.params, flow_u8, bd, key))
+                t2 = time.perf_counter()
+                self._phase("select", (t2 - t1) * 1000)
                 sel = np.stack([padded[i].frames_u8[sel_idx[i]]
                                 for i in range(b)])
                 sel_dev = jnp.asarray(sel)
                 if self._mesh is not None:
                     sel_dev = shard_batch(sel_dev, self._mesh)
+                self._phase("gather", (time.perf_counter() - t2) * 1000)
+            except Exception as e:  # resolve futures even on failure
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                continue
+            self._answer_busy.set()
+            self._mid.put((group, bd, sel_idx, sel_dev, key, mesh_ctx))
+
+    def _run_answer(self):
+        """Stage 2: LLM decode on device -> detokenize -> resolve futures."""
+        while True:
+            item = self._mid.get()
+            if item is None:
+                return
+            group, bd, sel_idx, sel_dev, key, mesh_ctx = item
+            try:
+                t0 = time.perf_counter()
                 with mesh_ctx:
                     tokens = np.asarray(
                         self._answer(self.params, sel_dev, bd, key))
+                t1 = time.perf_counter()
+                self._phase("answer", (t1 - t0) * 1000)
                 answers = self.tok.batch_decode(tokens,
                                                 skip_special_tokens=True)
                 now = time.perf_counter()
@@ -309,17 +387,22 @@ class ServingEngine:
                         selected_frames=[int(x) for x in sel_idx[i]],
                         latency_ms=lat_ms))
                     self._recent_lat.append(lat_ms)
+                self._phase("postprocess", (now - t1) * 1000)
                 self._recent_lat = self._recent_lat[-512:]
                 self._served += len(group)
                 self._batches += 1
-            except Exception as e:  # resolve futures even on failure
+            except Exception as e:
                 for r in group:
                     if not r.future.done():
                         r.future.set_exception(e)
+            finally:
+                if self._mid.empty():
+                    self._answer_busy.clear()
 
     def close(self):
         self._queue.put(None)
         self._worker.join(timeout=30)
+        self._answer_worker.join(timeout=30)
 
 
 # ------------------------------------------------------------------- HTTP
