@@ -37,7 +37,9 @@ T5-xl optimizer state needs fsdp>=4):
 
 Env: BENCH_TRAIN_MODES, BENCH_TRAIN_PRESET (force one preset for all
 modes; tests use ``tiny``), BENCH_TRAIN_STEPS (timed steps, default 6),
-BENCH_TRAIN_BATCH / BENCH_TRAIN_ACCUM / BENCH_TRAIN_FLOW overrides.
+BENCH_TRAIN_BATCH / BENCH_TRAIN_ACCUM / BENCH_TRAIN_FLOW overrides,
+BENCH_TRAIN_K (steps per dispatch for the windowed measurement; per-mode
+defaults below — 0 disables).
 
 Prints ONE JSON line:
   {"metric": "train_clips_per_sec_per_chip", "value": <tg clips/s>,
@@ -91,6 +93,112 @@ def _timed_steps(trainer, state, batch, n_steps: int):
     loss = float(metrics["loss"])
     pipelined_s = (time.perf_counter() - t0) / n_steps
     return pipelined_s, synced_s, compile_s, loss, state
+
+
+def _timed_multi(trainer, state, batch, k: int, n_disp: int = 3):
+    """K-steps-per-dispatch (trainer.train_step_multi): ONE host dispatch
+    scans K substeps on device — the dispatch/fetch overhead the pipelined
+    number still pays once per step is paid once per K. The window stacks
+    the same batch K times (memory: K x batch; callers pick K per mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    window = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (k, *x.shape)),
+                          batch)
+    t0 = time.perf_counter()
+    state, stacked = trainer.train_step_multi(state, window)
+    float(stacked["loss"][-1])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n_disp):
+        state, stacked = trainer.train_step_multi(state, window)
+    loss = float(stacked["loss"][-1])
+    per_step_s = (time.perf_counter() - t0) / (n_disp * k)
+    return per_step_s, compile_s, loss
+
+
+def _flops_per_step(trainer, state, batch) -> float | None:
+    """XLA cost-analysis FLOPs of ONE compiled train step (fwd+bwd+update).
+
+    Abstract-lowered (ShapeDtypeStructs — the donated buffers from timing
+    are gone) and read client-side from the StableHLO, so no extra remote
+    compile. XLA counts a lax.scan body ONCE, so multiply grad-accum scans
+    back in at the caller if needed; here accum microbatches are stacked in
+    the batch operand, and the RAFT/decoder loops don't appear in training
+    steps benched here. Returns None when the backend can't cost it."""
+    import jax
+
+    try:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (state.params, state.opt_state, state.step, batch,
+             trainer.rng.fold(0, "train")))
+        lowered = trainer._train_step.lower(*abstract)
+        cost = lowered.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def _stop_frozen(params, filter_fn):
+    """stop_gradient on frozen leaves — the trainer's loss_with_freeze mask,
+    reproduced for the cost model so frozen towers' pruned backward doesn't
+    inflate the FLOP count."""
+    import jax
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = [leaf if filter_fn(path, leaf) else jax.lax.stop_gradient(leaf)
+           for path, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _grad_flops(model, recipe, abstract_params, batch,
+                accum_scans: int = 1) -> float | None:
+    """Cost-analysis FLOPs of one fwd+bwd on an UNROLLED model.
+
+    XLA's cost analysis counts a while/scan body ONCE (verified on this
+    toolchain: a 10-iter scan of a matmul costs 1 matmul), so scanned-tower
+    (nn.scan) steps undercount by ~depth x. Callers bench a scanned model
+    but pass the unrolled twin here — same math, every layer visible to the
+    counter. The optimizer update (~2 x params FLOPs) is omitted as noise.
+    """
+    import jax
+
+    def gfn(p, b, k):
+        def loss(pp):
+            return recipe.loss_fn(model, _stop_frozen(pp, recipe.filter_fn),
+                                  b, k)[0]
+        return jax.grad(loss)(p)
+
+    try:
+        sds = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+        key = jax.random.key(0)
+        lowered = jax.jit(gfn).lower(abstract_params, sds(batch), sds(key))
+        cost = lowered.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"]) * accum_scans
+    except Exception:
+        return None
+
+
+# v5e bf16 peak (chip spec) and the measured matmul ceiling on this chip
+# (tools/perfprobe.py: ViT-shaped MLP matmuls sustain ~167 TF/s)
+CHIP_PEAK_TFLOPS = 197.0
+MATMUL_CEILING_TFLOPS = 167.0
+
+
+def _mfu_fields(flops: float | None, step_s: float, accum_scans: int = 1
+                ) -> dict:
+    if not flops or step_s <= 0:
+        return {}
+    tfs = flops * accum_scans / step_s / 1e12
+    return {"tflops_achieved": round(tfs, 1),
+            "mfu": round(tfs / CHIP_PEAK_TFLOPS, 3),
+            "mfu_vs_matmul_ceiling": round(tfs / MATMUL_CEILING_TFLOPS, 3)}
 
 
 def _count(tree) -> float:
@@ -193,9 +301,9 @@ def bench_tg(preset: str, n_steps: int) -> dict:
     recipe = TGRecipe()
     trainer = _trainer(recipe, model, batch)
     state = trainer.init_state(params)
-    pipe_s, sync_s, compile_s, loss, _ = _timed_steps(
+    pipe_s, sync_s, compile_s, loss, state = _timed_steps(
         trainer, state, dbatch, n_steps)
-    return {
+    out = {
         "batch": batch, "flow_len": flow_len,
         "step_ms": round(pipe_s * 1e3, 1),
         "step_ms_synced": round(sync_s * 1e3, 1),
@@ -205,6 +313,20 @@ def bench_tg(preset: str, n_steps: int) -> dict:
         "loss": round(loss, 4),
         "reference_budget": "1 GPU, batch 32",
     }
+    flops = _flops_per_step(trainer, state, dbatch)
+    out.update(_mfu_fields(flops, pipe_s))
+    # TG is the dispatch-bound stage (ROOFLINE: 68.9 ms wall vs 31 ms
+    # device) — the K-steps-per-dispatch window is its measured answer
+    k = _env_int("BENCH_TRAIN_K", 8)
+    if k > 1:
+        multi_s, _, multi_loss = _timed_multi(trainer, state, dbatch, k)
+        out.update({"steps_per_dispatch": k,
+                    "step_ms_multi": round(multi_s * 1e3, 1),
+                    "clips_per_s_multi": round(batch / multi_s, 3),
+                    "loss_multi": round(multi_loss, 4)})
+        out.update({f"{kk}_multi": v for kk, v in
+                    _mfu_fields(flops, multi_s).items()})
+    return out
 
 
 def bench_ivt(preset: str, n_steps: int) -> dict:
@@ -220,6 +342,7 @@ def bench_ivt(preset: str, n_steps: int) -> dict:
     cfg = getattr(VideoTGBConfig, preset)()
     t5 = dataclasses.replace(cfg.blip2.t5, lora_rank=8)
     cfg = dataclasses.replace(cfg, blip2=dataclasses.replace(cfg.blip2, t5=t5))
+    cfg_unrolled = cfg  # cost-model twin: scan bodies count once (see _grad_flops)
     if preset == "flagship":
         cfg = _scan_all(cfg)
     model = VideoTGB(cfg)
@@ -268,10 +391,10 @@ def bench_ivt(preset: str, n_steps: int) -> dict:
     jax.block_until_ready(params)
     trainer = _trainer(recipe, model, micro, accum=accum)
     state = trainer.init_state(params)
-    pipe_s, sync_s, compile_s, loss, _ = _timed_steps(
+    pipe_s, sync_s, compile_s, loss, state = _timed_steps(
         trainer, state, stacked, n_steps)
     eff = micro * accum
-    return {
+    out = {
         "batch": micro, "accum": accum, "effective_batch": eff,
         "step_ms": round(pipe_s * 1e3, 1),
         "step_ms_synced": round(sync_s * 1e3, 1),
@@ -281,6 +404,20 @@ def bench_ivt(preset: str, n_steps: int) -> dict:
         "loss": round(loss, 4),
         "reference_budget": "4 GPUs, batch 1/GPU x accum 4",
     }
+    # FLOP count on the unrolled twin (scanned towers count once in the
+    # scanned graph), one micro-batch x accum
+    model_u = VideoTGB(cfg_unrolled) if preset == "flagship" else model
+    aparams = jax.eval_shape(lambda k: nn.meta.unbox(model_u.init(
+        k, mb0["frames"], mb0["question_ids"], mb0["question_mask"],
+        mb0["answer_ids"], None, None, True, None,
+        method=_ivt_init_method))["params"], key)
+    micro_b = jax.tree.map(lambda x: x[0], stacked)
+    out.update(_mfu_fields(
+        _grad_flops(model_u, recipe, aparams, micro_b, accum_scans=accum),
+        pipe_s))
+    # no K-window by default: the 543 ms flagship step is compute-bound
+    # (dispatch ~5%) and a K-stacked window multiplies the 3 GB frame batch
+    return out
 
 
 def _ivt_init_method(mdl, frames, q_ids, q_mask, a_ids, qf_ids, qf_mask,
@@ -302,6 +439,7 @@ def bench_iv(preset: str, n_steps: int) -> dict:
     from videotgb_tpu.training.recipes import IVRecipe
 
     cfg = getattr(VideoTGBConfig, preset)()
+    cfg_unrolled = cfg
     if preset == "flagship":
         cfg = _scan_all(cfg)
     model = VideoTGB(cfg)
@@ -338,9 +476,9 @@ def bench_iv(preset: str, n_steps: int) -> dict:
 
     trainer = _trainer(recipe, model, batch)
     state = trainer.init_state(params)
-    pipe_s, sync_s, compile_s, loss, _ = _timed_steps(
+    pipe_s, sync_s, compile_s, loss, state = _timed_steps(
         trainer, state, dbatch, n_steps)
-    return {
+    out = {
         "batch": batch,
         "step_ms": round(pipe_s * 1e3, 1),
         "step_ms_synced": round(sync_s * 1e3, 1),
@@ -350,10 +488,20 @@ def bench_iv(preset: str, n_steps: int) -> dict:
         "loss": round(loss, 4),
         "reference_budget": "4 GPUs, batch 4/GPU (global 16)",
     }
+    model_u = VideoTGB(cfg_unrolled) if preset == "flagship" else model
+    aparams = jax.eval_shape(lambda k: nn.meta.unbox(model_u.init(
+        k, dbatch["frames"][:1], dbatch["question_ids"][:1],
+        dbatch["question_mask"][:1], dbatch["answer_ids"][:1],
+        None, None, True, None,
+        method=_ivt_init_method))["params"], key)
+    out.update(_mfu_fields(_grad_flops(model_u, recipe, aparams, dbatch),
+                           pipe_s))
+    return out
 
 
 def bench_sf(preset: str, n_steps: int, recipe=None,
-             budget: str = "4 GPUs, batch 2/GPU (global 8)") -> dict:
+             budget: str = "4 GPUs, batch 2/GPU (global 8)",
+             k_dispatch: int = 8) -> dict:
     """Reference SF stage at the reference's global batch 8. Flagship SF
     needs fsdp>=4 for the T5-xl AdamW state; ``small`` is the one-chip
     structure-true stand-in (same towers/selection pipeline, reduced
@@ -366,6 +514,7 @@ def bench_sf(preset: str, n_steps: int, recipe=None,
     from videotgb_tpu.training.recipes import SFRecipe
 
     cfg = getattr(VideoTGBConfig, preset)()
+    cfg_unrolled = cfg
     if preset == "flagship":
         cfg = _scan_all(cfg)
     model = VideoTGB(cfg)
@@ -418,9 +567,9 @@ def bench_sf(preset: str, n_steps: int, recipe=None,
 
     trainer = _trainer(recipe, model, batch)
     state = trainer.init_state(params)
-    pipe_s, sync_s, compile_s, loss, _ = _timed_steps(
+    pipe_s, sync_s, compile_s, loss, state = _timed_steps(
         trainer, state, dbatch, n_steps)
-    return {
+    out = {
         "batch": batch, "flow_len": flow_len, "preset": preset,
         "step_ms": round(pipe_s * 1e3, 1),
         "step_ms_synced": round(sync_s * 1e3, 1),
@@ -430,6 +579,26 @@ def bench_sf(preset: str, n_steps: int, recipe=None,
         "loss": round(loss, 4),
         "reference_budget": budget,
     }
+    model_u = VideoTGB(cfg_unrolled) if preset == "flagship" else model
+    aparams = jax.eval_shape(lambda k: nn.meta.unbox(model_u.init(
+        k, dbatch["frames"][:1], dbatch["flow"][:1],
+        dbatch["flow_mask"][:1], dbatch["video_length"][:1],
+        dbatch["sampler_question_ids"][:1],
+        dbatch["sampler_question_mask"][:1], dbatch["question_ids"][:1],
+        dbatch["question_mask"][:1], k,
+        method=model_u.init_pipeline))["params"], key)
+    flops = _grad_flops(model_u, recipe, aparams, dbatch)
+    out.update(_mfu_fields(flops, pipe_s))
+    k = _env_int("BENCH_TRAIN_K", k_dispatch)
+    if k > 1:
+        multi_s, _, multi_loss = _timed_multi(trainer, state, dbatch, k)
+        out.update({"steps_per_dispatch": k,
+                    "step_ms_multi": round(multi_s * 1e3, 1),
+                    "clips_per_s_multi": round(batch / multi_s, 3),
+                    "loss_multi": round(multi_loss, 4)})
+        out.update({f"{kk}_multi": v for kk, v in
+                    _mfu_fields(flops, multi_s).items()})
+    return out
 
 
 def bench_e2e(preset: str, n_steps: int) -> dict:
@@ -439,8 +608,10 @@ def bench_e2e(preset: str, n_steps: int) -> dict:
     budget: batch 8."""
     from videotgb_tpu.training.recipes import E2ERecipe
 
+    # K=2: the flagship E2E step is compute-bound (~340 ms) and the window
+    # doubles the 600 MB f32 frame batch — enough to see the dispatch share
     return bench_sf(preset, n_steps, recipe=E2ERecipe(),
-                    budget="reference batch 8")
+                    budget="reference batch 8", k_dispatch=2)
 
 
 def main() -> None:
@@ -472,14 +643,19 @@ def main() -> None:
             raise SystemExit(f"unknown BENCH_TRAIN_MODES entry {mode!r}")
 
     headline = per_mode.get("tg") or next(iter(per_mode.values()))
+    # the K-steps-per-dispatch cadence is a real trainer mode
+    # (TrainerConfig.steps_per_dispatch) — the headline is the best
+    # sustainable per-chip rate of the two
+    best = max(headline["clips_per_s"],
+               headline.get("clips_per_s_multi", 0.0))
     print(json.dumps({
         "metric": "train_clips_per_sec_per_chip",
-        "value": headline["clips_per_s"],
+        "value": best,
         "unit": "clips/s",
         # no reference throughput exists (BASELINE.md: accuracy only);
         # vs_baseline compares against the reference's per-device batch
         # cadence of 1 step/s as a neutral anchor = clips/s / batch
-        "vs_baseline": round(headline["clips_per_s"] / headline["batch"], 3),
+        "vs_baseline": round(best / headline["batch"], 3),
         "per_mode": per_mode,
     }))
 

@@ -140,3 +140,50 @@ def test_trainer_periodic_checkpoint_between_evals(tmp_path):
               checkpoint_fn=lambda st, m: saved.append((int(st.step), m)))
     assert [step for step, _ in saved] == [5]
     assert saved[0][1] is None
+
+
+def test_sharded_save_restore_across_mesh_shapes(tmp_path):
+    """The re-sharding restore seam of 5.4 (reference resume,
+    src/train.py:87, mapped onto Orbax-with-sharding): state saved under a
+    {dp:2, fsdp:2, tp:2} mesh restores BIT-EXACT onto a different mesh
+    shape ({dp:4, fsdp:2}) with different per-leaf partition specs — GSPMD
+    re-shards on load; nothing is tied to the saver's device layout."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from videotgb_tpu.parallel.mesh import MeshConfig, create_mesh
+
+    rng = np.random.default_rng(7)
+    host = {"w": rng.standard_normal((16, 8)).astype(np.float32),
+            "emb": rng.standard_normal((32, 8)).astype(np.float32),
+            "b": rng.standard_normal((8,)).astype(np.float32)}
+
+    mesh_a = create_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    specs_a = {"w": P("fsdp", "tp"), "emb": P("fsdp", None), "b": P()}
+    params_a = jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh_a, s)),
+        host, specs_a)
+
+    ckpt = CheckpointManager(CheckpointConfig(directory=str(tmp_path)))
+    ckpt.save(3, {"params": params_a, "step": jnp.asarray(3, jnp.int32)})
+    ckpt.wait()
+    ckpt.close()
+
+    # a fresh manager (new process) restores onto a DIFFERENT mesh shape
+    # with different specs: w now row-sharded only, emb replicated
+    mesh_b = create_mesh(MeshConfig(dp=4, fsdp=2, tp=1))
+    specs_b = {"w": P("fsdp", None), "emb": P(), "b": P()}
+    template = jax.tree.map(
+        lambda x, s: jax.device_put(jnp.zeros_like(jnp.asarray(x)),
+                                    NamedSharding(mesh_b, s)),
+        host, specs_b)
+    ckpt2 = CheckpointManager(CheckpointConfig(directory=str(tmp_path)))
+    out = ckpt2.restore(3, template={"params": template})
+    restored = out["params"]
+
+    for name in host:
+        np.testing.assert_array_equal(np.asarray(restored[name]), host[name])
+        want = NamedSharding(mesh_b, specs_b[name])
+        assert restored[name].sharding.is_equivalent_to(want, host[name].ndim), (
+            name, restored[name].sharding)
+    ckpt2.close()
