@@ -52,6 +52,7 @@ import dataclasses
 import json
 import os
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -93,6 +94,32 @@ def _timed_steps(trainer, state, batch, n_steps: int):
     loss = float(metrics["loss"])
     pipelined_s = (time.perf_counter() - t0) / n_steps
     return pipelined_s, synced_s, compile_s, loss, state
+
+
+def _multi_fields(trainer, state, batch, k: int, flops, batch_size: int
+                  ) -> dict:
+    """K-window measurement with an OOM guard: the stacked window costs
+    K x batch of HBM on top of params+activations, so a preset that fits
+    per-step can exceed HBM windowed (flagship E2E did at K=2). An OOM is
+    recorded as a skip note — the per-step number stands — instead of
+    killing the remaining bench modes."""
+    import jax
+
+    try:
+        multi_s, _, multi_loss = _timed_multi(trainer, state, batch, k)
+    except jax.errors.JaxRuntimeError as e:
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        return {"steps_per_dispatch": k,
+                "multi_note": "window OOM: K x batch exceeds HBM next to "
+                              "params+activations; per-step path stands"}
+    out = {"steps_per_dispatch": k,
+           "step_ms_multi": round(multi_s * 1e3, 1),
+           "clips_per_s_multi": round(batch_size / multi_s, 3),
+           "loss_multi": round(multi_loss, 4)}
+    out.update({f"{kk}_multi": v for kk, v in
+                _mfu_fields(flops, multi_s).items()})
+    return out
 
 
 def _timed_multi(trainer, state, batch, k: int, n_disp: int = 3):
@@ -319,13 +346,7 @@ def bench_tg(preset: str, n_steps: int) -> dict:
     # device) — the K-steps-per-dispatch window is its measured answer
     k = _env_int("BENCH_TRAIN_K", 8)
     if k > 1:
-        multi_s, _, multi_loss = _timed_multi(trainer, state, dbatch, k)
-        out.update({"steps_per_dispatch": k,
-                    "step_ms_multi": round(multi_s * 1e3, 1),
-                    "clips_per_s_multi": round(batch / multi_s, 3),
-                    "loss_multi": round(multi_loss, 4)})
-        out.update({f"{kk}_multi": v for kk, v in
-                    _mfu_fields(flops, multi_s).items()})
+        out.update(_multi_fields(trainer, state, dbatch, k, flops, batch))
     return out
 
 
@@ -591,13 +612,7 @@ def bench_sf(preset: str, n_steps: int, recipe=None,
     out.update(_mfu_fields(flops, pipe_s))
     k = _env_int("BENCH_TRAIN_K", k_dispatch)
     if k > 1:
-        multi_s, _, multi_loss = _timed_multi(trainer, state, dbatch, k)
-        out.update({"steps_per_dispatch": k,
-                    "step_ms_multi": round(multi_s * 1e3, 1),
-                    "clips_per_s_multi": round(batch / multi_s, 3),
-                    "loss_multi": round(multi_loss, 4)})
-        out.update({f"{kk}_multi": v for kk, v in
-                    _mfu_fields(flops, multi_s).items()})
+        out.update(_multi_fields(trainer, state, dbatch, k, flops, batch))
     return out
 
 
@@ -626,21 +641,20 @@ def main() -> None:
     n_steps = _env_int("BENCH_TRAIN_STEPS", 6)
     forced = os.environ.get("BENCH_TRAIN_PRESET")
 
+    runners = {"tg": (bench_tg, "flagship"), "ivt": (bench_ivt, "flagship"),
+               "iv": (bench_iv, "flagship"), "e2e": (bench_e2e, "flagship"),
+               "sf": (bench_sf, "small")}
     per_mode = {}
     for mode in modes:
         mode = mode.strip()
-        if mode == "tg":
-            per_mode["tg"] = bench_tg(forced or "flagship", n_steps)
-        elif mode == "ivt":
-            per_mode["ivt"] = bench_ivt(forced or "flagship", n_steps)
-        elif mode == "iv":
-            per_mode["iv"] = bench_iv(forced or "flagship", n_steps)
-        elif mode == "e2e":
-            per_mode["e2e"] = bench_e2e(forced or "flagship", n_steps)
-        elif mode == "sf":
-            per_mode["sf"] = bench_sf(forced or "small", n_steps)
-        else:
+        if mode not in runners:
             raise SystemExit(f"unknown BENCH_TRAIN_MODES entry {mode!r}")
+        fn, default_preset = runners[mode]
+        per_mode[mode] = fn(forced or default_preset, n_steps)
+        # progress to stderr so a late-mode failure can't lose earlier
+        # modes' measurements (the one-line JSON below stays the artifact)
+        print(f"[bench_train] {mode}: {json.dumps(per_mode[mode])}",
+              file=sys.stderr, flush=True)
 
     headline = per_mode.get("tg") or next(iter(per_mode.values()))
     # the K-steps-per-dispatch cadence is a real trainer mode
