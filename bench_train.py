@@ -144,6 +144,32 @@ def _timed_multi(trainer, state, batch, k: int, n_disp: int = 3):
     return per_step_s, compile_s, loss
 
 
+def _cost_flops(lowered) -> float | None:
+    """FLOPs of a lowered computation, robust to this backend.
+
+    ``Lowered.cost_analysis()`` returns None on the axon tunnel client (it
+    doesn't implement HLO cost analysis; probed 2026-08-20) — fall back to
+    running XLA's analysis client-side on the in-process CPU client over
+    the same lowered HLO module. Pure static analysis: no remote compile,
+    no device work."""
+    cost = lowered.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else None
+    if cost and "flops" in cost:
+        return float(cost["flops"])
+    try:
+        import jax.extend.backend as xb
+        from jax._src.lib import xla_client as xc
+
+        mod = lowered.compiler_ir("hlo")
+        props = xc._xla.hlo_module_cost_analysis(
+            xb.get_backend("cpu"),
+            mod.as_hlo_module() if hasattr(mod, "as_hlo_module") else mod)
+        return float(props["flops"])
+    except Exception:
+        return None
+
+
 def _flops_per_step(trainer, state, batch) -> float | None:
     """XLA cost-analysis FLOPs of ONE compiled train step (fwd+bwd+update).
 
@@ -160,11 +186,7 @@ def _flops_per_step(trainer, state, batch) -> float | None:
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
             (state.params, state.opt_state, state.step, batch,
              trainer.rng.fold(0, "train")))
-        lowered = trainer._train_step.lower(*abstract)
-        cost = lowered.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost["flops"])
+        return _cost_flops(trainer._train_step.lower(*abstract))
     except Exception:
         return None
 
@@ -204,10 +226,8 @@ def _grad_flops(model, recipe, abstract_params, batch,
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
         key = jax.random.key(0)
         lowered = jax.jit(gfn).lower(abstract_params, sds(batch), sds(key))
-        cost = lowered.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost["flops"]) * accum_scans
+        flops = _cost_flops(lowered)
+        return flops * accum_scans if flops else None
     except Exception:
         return None
 
@@ -655,6 +675,21 @@ def main() -> None:
         # modes' measurements (the one-line JSON below stays the artifact)
         print(f"[bench_train] {mode}: {json.dumps(per_mode[mode])}",
               file=sys.stderr, flush=True)
+        # free the mode's HBM before the next one: flax/trainer pytrees sit
+        # in reference cycles, so without an explicit collect a flagship
+        # mode's ~8 GB param+opt tree can outlive its frame and OOM the
+        # next mode's batch upload (observed: e2e -> sf, 2026-08-20).
+        # clear_caches drops the dead jitted executables too; the tiny
+        # allocate+fetch drains the async queue so the frees land before
+        # the next mode allocates.
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+        import jax.numpy as jnp
+
+        float(jnp.zeros((), jnp.float32) + 1.0)
 
     headline = per_mode.get("tg") or next(iter(per_mode.values()))
     # the K-steps-per-dispatch cadence is a real trainer mode
