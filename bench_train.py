@@ -670,7 +670,11 @@ def main() -> None:
         if mode not in runners:
             raise SystemExit(f"unknown BENCH_TRAIN_MODES entry {mode!r}")
         fn, default_preset = runners[mode]
-        per_mode[mode] = fn(forced or default_preset, n_steps)
+        try:
+            per_mode[mode] = fn(forced or default_preset, n_steps)
+        except Exception as e:  # noqa: BLE001 — a wedged device after a
+            # caught OOM must not lose the modes already measured
+            per_mode[mode] = {"error": f"{type(e).__name__}: {e}"[:300]}
         # progress to stderr so a late-mode failure can't lose earlier
         # modes' measurements (the one-line JSON below stays the artifact)
         print(f"[bench_train] {mode}: {json.dumps(per_mode[mode])}",
@@ -681,17 +685,27 @@ def main() -> None:
         # next mode's batch upload (observed: e2e -> sf, 2026-08-20).
         # clear_caches drops the dead jitted executables too; the tiny
         # allocate+fetch drains the async queue so the frees land before
-        # the next mode allocates.
+        # the next mode allocates. Best-effort: after an in-mode OOM was
+        # caught (the e2e K-window) the device can stay wedged — even a
+        # scalar alloc fails — so a cleanup failure must not lose the
+        # measured modes; order OOM-prone modes last.
         import gc
 
-        gc.collect()
-        jax.clear_caches()
-        gc.collect()
-        import jax.numpy as jnp
+        try:
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
+            import jax.numpy as jnp
 
-        float(jnp.zeros((), jnp.float32) + 1.0)
+            float(jnp.zeros((), jnp.float32) + 1.0)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench_train] inter-mode cleanup probe failed "
+                  f"({type(e).__name__}) — device may be wedged from a "
+                  f"caught OOM; later modes may fail", file=sys.stderr,
+                  flush=True)
 
-    headline = per_mode.get("tg") or next(iter(per_mode.values()))
+    ok_modes = {k: v for k, v in per_mode.items() if "clips_per_s" in v}
+    headline = ok_modes.get("tg") or next(iter(ok_modes.values()))
     # the K-steps-per-dispatch cadence is a real trainer mode
     # (TrainerConfig.steps_per_dispatch) — the headline is the best
     # sustainable per-chip rate of the two
