@@ -375,6 +375,7 @@ def main() -> None:
     # skips it (BENCH_BEAMS=5 records the number; see ROOFLINE.md)
     beams = int(os.environ.get("BENCH_BEAMS", "0"))
     beam_ms_per_clip = None
+    beam_batch = None
     if beams > 1:
         import dataclasses as _dc
 
@@ -387,17 +388,25 @@ def main() -> None:
             b["flow"] = flow
             return generate_blip2(model, params, b, dcfg_b, key)
 
+        # beam search multiplies decoder state by num_beams (KV caches +
+        # per-beam tiled encoder states): batch 64 x 5 beams OOMed v5e HBM
+        # next to the bf16 flagship (2026-08-21), so the beam probe runs a
+        # slice of the batch — the reference's beam-5 eval decodes batch 1
+        # (eval/inference.py), so a 16-clip slab is already generous.
+        beam_batch = min(batch, int(os.environ.get("BENCH_BEAM_BATCH", "16")))
+        frames_s, flow_s = frames[:beam_batch], flow_rgb[:beam_batch]
+        bd_s = {k: v[:beam_batch] for k, v in batch_dev.items()}
         fn_b = jax.jit(pipeline_beam)
-        tokens_b, _ = fn_b(params, frames, flow_rgb, batch_dev, key)
+        tokens_b, _ = fn_b(params, frames_s, flow_s, bd_s, key)
         _ = np.asarray(tokens_b)  # compile + warmup
         bt = []
         for i in range(max(2, iters // 2)):
             k = jax.random.fold_in(key, 500 + i)
             t0 = time.perf_counter()
-            tokens_b, _ = fn_b(params, frames, flow_rgb, batch_dev, k)
+            tokens_b, _ = fn_b(params, frames_s, flow_s, bd_s, k)
             _ = np.asarray(tokens_b)
             bt.append(time.perf_counter() - t0)
-        beam_ms_per_clip = statistics.median(bt) * 1000 / batch
+        beam_ms_per_clip = statistics.median(bt) * 1000 / beam_batch
 
     # ---- environment-limited end-to-end: this harness host has ONE cpu core
     # and a ~35 MB/s host<->device tunnel, so the honest full pipeline here is
@@ -572,6 +581,7 @@ def main() -> None:
     }
     if beam_ms_per_clip is not None:
         result["beam_num"] = beams
+        result["beam_batch"] = beam_batch
         result["beam_ms_per_clip"] = round(beam_ms_per_clip, 1)
     print(json.dumps(result))
 
